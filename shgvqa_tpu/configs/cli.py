@@ -1,0 +1,242 @@
+"""Reference-flag-compatible CLI.
+
+The reference drives everything through one argparse namespace built at import
+time (``AGQA/src/param.py:33-201``).  We keep the *spelling* of every
+README-documented flag (``README.md:46-76,157-221``) but parse into the typed
+``Config`` instead of mutating global state.  Flags that configured the unused
+capsule path are accepted and ignored (recorded in ``Config`` extras) so
+published command lines run unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional, Sequence
+
+from shgvqa_tpu.configs.config import Config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="shgvqa_tpu (reference-flag compatible)")
+
+    # splits
+    p.add_argument("--train", default="train")
+    p.add_argument("--valid", default="valid")
+    p.add_argument("--test", default=None)
+
+    # training hyperparams
+    p.add_argument("--batchSize", dest="batch_size", type=int, default=32)
+    p.add_argument("--optim", default="bert")
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--dropout", type=float, default=0.3)
+    p.add_argument("--seed", type=int, default=9595)
+    p.add_argument("--output", type=str, default="snap/run")
+    p.add_argument("--fast", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--tqdm", action="store_true")
+    p.add_argument("--load", type=str, default=None)
+    p.add_argument("--loadLXMERT", dest="load_lxmert", type=str, default=None)
+    p.add_argument("--fromScratch", dest="from_scratch", action="store_true")
+    p.add_argument("--mceLoss", dest="mce_loss", action="store_true")
+    p.add_argument("--noObjWeight", dest="no_object_weight", type=float, default=0.1)
+    p.add_argument("--logFreq", dest="log_freq", type=int, default=50)
+
+    # architecture
+    p.add_argument("--llayers", type=int, default=5)
+    p.add_argument("--xlayers", type=int, default=2)
+    p.add_argument("--rlayers", type=int, default=5)
+    p.add_argument("--dlayers", type=int, default=5)
+    p.add_argument("--crossAttnType", dest="cross_attn_type", default="cross",
+                   choices=["cross", "self", "cross_self", "old"])
+    p.add_argument("--noCaps", dest="no_caps", action="store_true")
+    p.add_argument("--outputAttn", dest="output_attention", action="store_true")
+    p.add_argument("--linearCls", dest="linear_cls", action="store_true")
+    p.add_argument("--embDropRate", dest="emb_drop_rate", type=float, default=0.15)
+    p.add_argument("--decoderDropRate", dest="decoder_drop_rate", type=float, default=0.15)
+
+    # accepted-for-compat capsule/patch flags (capsule path is off in every
+    # published recipe; we implement the no_caps path)
+    p.add_argument("--NUM_PRIM_CAPS", type=int, default=32)
+    p.add_argument("--NUM_VIS_CAPS", type=int, default=32)
+    p.add_argument("--POSE_DIM", type=int, default=4)
+    p.add_argument("--HW", type=int, default=7)
+    p.add_argument("--patches", action="store_true")
+    p.add_argument("--attnRouting", dest="attn_routing", action="store_true")
+    p.add_argument("--skipConnection", dest="skip_connection", action="store_true")
+    p.add_argument("--sharedWeights", dest="shared_weights", action="store_true")
+    p.add_argument("--normInputs", dest="norm_inputs", action="store_true")
+    p.add_argument("--crossAttn", dest="cross_attn", action="store_true")
+    p.add_argument("--freezeWeights", dest="freeze_weights", action="store_true")
+    p.add_argument("--vitInit", dest="vit_init", action="store_true")
+    p.add_argument("--startIndex", dest="start_index", type=int, default=7)
+    p.add_argument("--margin", type=float, default=0.1)
+
+    # STAR specifics
+    p.add_argument("--qType", dest="qtype", default="Feasibility",
+                   choices=["Interaction", "Sequence", "Prediction", "Feasibility"])
+    p.add_argument("--mergeData", dest="merge_data", action="store_true")
+    p.add_argument("--mergeAll", dest="merge_all", action="store_true")
+    p.add_argument("--qaArrangeType", dest="qa_arrange_type", default="add_sep_all",
+                   choices=["add_sep_all", "no_sep_all", "add_sep", "no_sep"])
+
+    # hypergraph geometry
+    p.add_argument("--numRel", dest="num_rel", type=int, default=8)
+    p.add_argument("--numAct", dest="num_act", type=int, default=3)
+    p.add_argument("--addAction", dest="add_action", action="store_true")
+    p.add_argument("--addRelation", dest="add_relation", action="store_true")
+    p.add_argument("--numSituations", dest="num_situations", type=int, default=16)
+    p.add_argument("--clipLEN", dest="clip_len", type=int, default=16)
+    p.add_argument("--trainSubSet", dest="train_sub_set", action="store_true")
+
+    # augmentation / backbone
+    p.add_argument("--augmentType", dest="augment_type", default="no_aug",
+                   choices=["no_aug", "no_aug_slowfast", "aug_mix", "rand_aug",
+                            "rand_aug_slowfast"])
+    p.add_argument("--backbone", default="slow_r50",
+                   choices=["slow_r50", "slowfast_r50", "slowfast_r101",
+                            "resnext101", "video_swin", "mvit_B"])
+    p.add_argument("--afterCrossAttnFeats", dest="after_cross_attn_feats",
+                   action="store_true")
+
+    # task flags
+    p.add_argument("--taskQ", dest="task_q", action="store_true")
+    p.add_argument("--taskVQA", dest="task_vqa", action="store_true")
+    p.add_argument("--taskHGQA", dest="task_hgqa", action="store_true")
+    p.add_argument("--taskVHGA", dest="task_vhga", action="store_true")
+    p.add_argument("--taskHGVQA", dest="task_hgvqa", action="store_true")
+    p.add_argument("--GTHG", dest="gt_hg", action="store_true")
+    p.add_argument("--useHGMask", dest="use_hg_mask", action="store_true")
+    p.add_argument("--LossHGPerFrame", dest="loss_hg_per_frame", action="store_true")
+
+    # AGQA test protocols
+    p.add_argument("--novelComp", dest="novel_comp", action="store_true")
+    p.add_argument("--indirectRef", dest="indirect_ref", action="store_true")
+    p.add_argument("--compSteps", dest="comp_steps", action="store_true")
+
+    # parallelism / workers
+    p.add_argument("--multiGPU", action="store_true")  # accepted; mesh handles scale
+    p.add_argument("--numWorkers", dest="num_workers", type=int, default=8)
+
+    # TPU-native extensions (no reference counterpart)
+    p.add_argument("--dataDir", dest="data_dir", default="data")
+    p.add_argument("--frameDir", dest="frame_dir", default="frames")
+    p.add_argument("--dataset", default=None, choices=[None, "agqa", "star"])
+    p.add_argument("--computeDtype", dest="compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--untieXLayers", dest="untie_x_layers", action="store_true")
+    p.add_argument("--pallasAttention", dest="use_pallas_attention",
+                   action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--dataParallel", dest="data_parallel", type=int, default=-1)
+    p.add_argument("--modelParallel", dest="model_parallel", type=int, default=1)
+    return p
+
+
+def _resolve_task(ns: argparse.Namespace) -> str:
+    if ns.task_q:
+        return "q"
+    if ns.task_vqa:
+        return "vqa"
+    if ns.task_hgvqa:
+        return "hgvqa"
+    if ns.task_vhga:
+        return "vhga"
+    return "hgqa"
+
+
+def parse_reference_flags(argv: Optional[Sequence[str]] = None,
+                          dataset: Optional[str] = None) -> Config:
+    """Parse reference-style argv into a typed Config.
+
+    ``dataset`` may be forced by the entry point (the reference selects the
+    dataset by which driver script you run: agqaHGQA.py vs star.py).
+    """
+    ns = build_parser().parse_args(argv)
+    cfg = Config()
+    ds = dataset or ns.dataset or "agqa"
+
+    enc = cfg.encoder.__class__(
+        l_layers=ns.llayers,
+        x_layers=ns.xlayers,
+        r_layers=ns.rlayers,
+        cross_attn_type=ns.cross_attn_type,
+        tie_x_layers=not ns.untie_x_layers,
+    )
+    dec = cfg.decoder.__class__(
+        num_layers=ns.dlayers,
+        dropout=ns.decoder_drop_rate,
+        emb_dropout=ns.emb_drop_rate,
+        linear_cls=ns.linear_cls,
+    )
+    data = cfg.data.__class__(
+        dataset=ds,
+        train_split=ns.train,
+        valid_split=ns.valid,
+        test_split=ns.test,
+        data_dir=ns.data_dir,
+        frame_dir=ns.frame_dir,
+        clip_len=ns.clip_len,
+        num_situations=ns.num_situations,
+        num_rel=ns.num_rel,
+        num_act=ns.num_act,
+        augment_type=ns.augment_type,
+        qa_arrange_type=ns.qa_arrange_type,
+        qtype=ns.qtype,
+        merge_data=ns.merge_data,
+        merge_all=ns.merge_all,
+        novel_comp=ns.novel_comp,
+        indirect_ref=ns.indirect_ref,
+        comp_steps=ns.comp_steps,
+        tiny=ns.tiny,
+        fast=ns.fast,
+        train_sub_set=ns.train_sub_set,
+        num_workers=ns.num_workers,
+    )
+    optim = cfg.optim.__class__(
+        optim=ns.optim,
+        lr=ns.lr,
+        epochs=ns.epochs,
+        batch_size=ns.batch_size,
+        eval_batch_size=max(1, ns.batch_size // 4) if ds == "agqa" else ns.batch_size,
+    )
+    mesh = cfg.mesh.__class__(
+        data_parallel=ns.data_parallel,
+        model_parallel=ns.model_parallel,
+    )
+
+    # STAR class counts differ from AGQA (see BASELINE.md)
+    if ds == "star":
+        num_rel_classes, num_act_classes, num_answers = 563, 111, 4
+    else:
+        num_rel_classes, num_act_classes, num_answers = 456, 157, 171
+
+    cfg = Config(
+        task=_resolve_task(ns),
+        encoder=enc,
+        decoder=dec,
+        data=data,
+        optim=optim,
+        mesh=mesh,
+        backbone=ns.backbone,
+        freeze_backbone=(ds == "star"),
+        from_scratch=ns.from_scratch,
+        loss_hg_per_frame=ns.loss_hg_per_frame,
+        use_hg_mask=ns.use_hg_mask,
+        gt_hg=ns.gt_hg,
+        eos_coef=ns.no_object_weight,
+        mce_loss=ns.mce_loss,
+        num_rel_classes=num_rel_classes,
+        num_act_classes=num_act_classes,
+        num_answers=num_answers,
+        seed=ns.seed,
+        output=ns.output,
+        load=ns.load,
+        log_freq=ns.log_freq,
+        output_attention=ns.output_attention,
+        compute_dtype=ns.compute_dtype,
+        remat=ns.remat,
+        use_pallas_attention=ns.use_pallas_attention,
+    )
+    cfg.validate()
+    return cfg

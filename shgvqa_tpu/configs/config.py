@@ -1,0 +1,255 @@
+"""Typed configuration for the framework.
+
+Replaces the reference's import-time global argparse namespace
+(``AGQA/src/param.py:33-201``) with explicit dataclasses.  Every flag that the
+reference README documents is representable here; ``configs/cli.py`` maps the
+reference's exact CLI spelling (``--taskHGQA``, ``--llayers``, ...) onto these
+dataclasses so published commands keep working.
+
+TPU-specific knobs (dtype policy, mesh shape, kernel selection) have no
+reference counterpart and live in their own fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class EncoderConfig:
+    """LXMERT-style tri-stream encoder dimensions (bert-base by default).
+
+    Mirrors the facts in ``modeling_capsbert.py:206-263`` (BertConfig) and
+    ``VisualConfig`` (``modeling_capsbert.py:156-204``).
+    """
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    initializer_range: float = 0.02
+
+    # layer counts (reference: --llayers/--xlayers/--rlayers, README uses 5/2/5)
+    l_layers: int = 5
+    x_layers: int = 2
+    r_layers: int = 5
+
+    # cross-modal layer variant: 'cross' | 'self' | 'cross_self' | 'old'
+    # (reference --crossAttnType; 'old' behaves as 'cross')
+    cross_attn_type: str = "cross"
+
+    # The reference builds its x_layers as N references to ONE module instance,
+    # so all cross-modal layers are weight-tied (modeling_capsbert.py:1247-1249).
+    # That accidental semantic is the published behavior; keep it the default
+    # and expose an untied option.
+    tie_x_layers: bool = True
+
+    # visual tokenizer (VisualFeatEncoder, modeling_capsbert.py:966-1073)
+    visual_feat_dim: int = 2048
+    visual_t: int = 8          # temporal tokens after conv compression 16 -> 8
+    visual_hw: int = 7         # spatial tokens per side
+    # visual token sequence = t*hw*hw + 1 CLS = 393
+
+    @property
+    def visual_seq_length(self) -> int:
+        return self.visual_t * self.visual_hw * self.visual_hw + 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclass
+class DecoderConfig:
+    """Situation-hypergraph DETR-style decoder (lxrt/transformer.py:86-297)."""
+
+    num_layers: int = 5            # --dlayers
+    num_heads: int = 12
+    ffn_dim: int = 2048
+    dropout: float = 0.15          # --decoderDropRate
+    emb_dropout: float = 0.15      # --embDropRate (action query embeddings)
+    linear_cls: bool = False       # --linearCls: plain Linear classifier heads
+
+
+@dataclass
+class DataConfig:
+    """Dataset geometry and paths."""
+
+    dataset: str = "agqa"          # 'agqa' | 'star'
+    train_split: str = "train"
+    valid_split: Optional[str] = "valid"
+    test_split: Optional[str] = None
+
+    data_dir: str = "data"         # annotations + vocab artifacts
+    frame_dir: str = "frames"      # decoded video frames root
+
+    clip_len: int = 16             # --clipLEN
+    num_situations: int = 16       # --numSituations
+    num_rel: int = 8               # --numRel
+    num_act: int = 3               # --numAct
+    max_seq_length: int = 40       # MAX_STAR_LENGTH (agqa_model.py:14)
+    image_size: int = 224
+
+    augment_type: str = "no_aug"   # --augmentType
+    qa_arrange_type: str = "add_sep_all"  # --qaArrangeType (STAR)
+    qtype: str = "Feasibility"     # --qType (STAR filter)
+    merge_data: bool = False       # --mergeData
+    merge_all: bool = False        # --mergeAll
+
+    # AGQA test-protocol selectors
+    novel_comp: bool = False       # --novelComp
+    indirect_ref: bool = False     # --indirectRef
+    comp_steps: bool = False       # --compSteps
+
+    tiny: bool = False             # --tiny (512 items)
+    fast: bool = False             # --fast (5000 items)
+    train_sub_set: bool = False    # --trainSubSet
+
+    num_workers: int = 8           # decode worker threads
+    prefetch: int = 2
+
+    @property
+    def hg_tokens_per_situation(self) -> int:
+        return self.num_rel + self.num_act
+
+    @property
+    def num_rel_queries(self) -> int:
+        return self.num_situations * self.num_rel     # 128
+
+    @property
+    def num_act_queries(self) -> int:
+        return self.num_situations * self.num_act     # 48
+
+
+@dataclass
+class OptimConfig:
+    """BertAdam-equivalent optimizer (lxrt/optimization.py:52-180)."""
+
+    optim: str = "bert"
+    lr: float = 1e-5
+    epochs: int = 100
+    batch_size: int = 32
+    eval_batch_size: int = 8
+    warmup: float = 0.1            # fraction of total steps
+    schedule: str = "warmup_linear"
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-6
+    weight_decay: float = 0.01
+    grad_clip: float = 5.0
+    early_stop_patience: int = 10  # epochs without valid improvement
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh for pjit scale-out.  The reference's only parallelism is
+    single-process nn.DataParallel over <=2 GPUs (agqaHGQA.py:124-129); here
+    the same capability (and beyond) is a mesh axis assignment."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # -1 means "all devices on the data axis"
+    data_parallel: int = -1
+    model_parallel: int = 1
+
+
+@dataclass
+class Config:
+    """Top-level run configuration."""
+
+    # task selection (reference --taskQ/--taskVQA/--taskHGQA/--taskVHGA/--taskHGVQA)
+    task: str = "hgqa"             # 'q' | 'vqa' | 'hgqa' | 'vhga' | 'hgvqa'
+
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    backbone: str = "slow_r50"     # --backbone
+    freeze_backbone: bool = True   # STAR freezes explicitly (star.py:87-88);
+                                   # AGQA only eval()s BN — see models/backbone.py
+    from_scratch: bool = True      # --fromScratch (published recipes train from scratch)
+
+    # hypergraph supervision
+    loss_hg_per_frame: bool = True  # --LossHGPerFrame
+    use_hg_mask: bool = False       # --useHGMask
+    gt_hg: bool = False             # --GTHG
+    eos_coef: float = 0.1           # --noObjWeight: background-class CE weight
+    mce_loss: bool = False          # --mceLoss: CE instead of BCE on answer head
+
+    # class counts (+1 background each, background index 0)
+    num_rel_classes: int = 456      # AGQA (agqaHGQA.py:102); STAR: 563
+    num_act_classes: int = 157      # AGQA action_classes.txt; STAR: 111
+    num_answers: int = 171          # resolved from answer vocab at dataset load
+
+    seed: int = 9595                # --seed
+    output: str = "snap/run"        # --output
+    load: Optional[str] = None      # --load
+    log_freq: int = 50              # --logFreq
+    output_attention: bool = False  # --outputAttn
+
+    # TPU execution policy (no reference counterpart)
+    compute_dtype: str = "bfloat16"   # matmul/activation dtype under jit
+    param_dtype: str = "float32"
+    remat: bool = False               # jax.checkpoint the encoder blocks
+    use_pallas_attention: bool = False  # fused attention kernels (kernels/)
+    donate_state: bool = True
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def background_idx(self) -> int:
+        return 0
+
+    def validate(self) -> None:
+        assert self.task in ("q", "vqa", "hgqa", "vhga", "hgvqa"), self.task
+        assert self.encoder.hidden_size % self.encoder.num_heads == 0
+        assert self.data.num_rel_queries % self.data.clip_len == 0
+        assert self.encoder.cross_attn_type in ("cross", "self", "cross_self", "old")
+
+
+def tiny_test_config(**overrides) -> Config:
+    """A CPU-sized config for unit tests: tiny dims, same topology."""
+    enc = EncoderConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_heads=4,
+        intermediate_size=64,
+        l_layers=2,
+        x_layers=2,
+        r_layers=2,
+        visual_feat_dim=16,
+        visual_t=2,
+        visual_hw=2,
+    )
+    dec = DecoderConfig(num_layers=2, num_heads=4, ffn_dim=64)
+    data = DataConfig(
+        clip_len=4,
+        num_situations=4,
+        num_rel=3,
+        num_act=2,
+        max_seq_length=12,
+        image_size=32,
+    )
+    optim = OptimConfig(lr=1e-3, epochs=2, batch_size=2, eval_batch_size=2)
+    cfg = Config(
+        encoder=enc,
+        decoder=dec,
+        data=data,
+        optim=optim,
+        num_rel_classes=11,
+        num_act_classes=7,
+        num_answers=13,
+        compute_dtype="float32",
+    )
+    cfg = cfg.replace(**overrides)
+    cfg.validate()
+    return cfg
