@@ -1,0 +1,80 @@
+"""Benchmark: end-to-end clips/sec/chip, frames -> answer (BASELINE.json
+north star).
+
+Runs the flagship HGQA inference path at published dims (slow_r50 backbone on
+16x224x224 clips + bert-base tri-stream encoder + both HG decoders + HG
+cross encoder) on the available accelerator and prints ONE JSON line.
+
+The reference never measured throughput (SURVEY.md §6), so vs_baseline is
+reported against a fixed reference point: the PyTorch reference's theoretical
+best on its published hardware is unknown; we report vs_baseline=1.0 at the
+first recorded value and track improvements across rounds via BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch, _flagship_cfg
+    from shgvqa_tpu.models.backbone import SlowR50
+    from shgvqa_tpu.models.shgvqa import ShgVqaModel
+
+    cfg = _flagship_cfg()
+    batch_size = 8
+    backbone = SlowR50(dtype=jnp.bfloat16)
+    model = ShgVqaModel(cfg)
+
+    batch = _example_batch(cfg, batch_size=batch_size)
+    rng = jax.random.PRNGKey(0)
+    frames = jnp.asarray(batch.pop("frames"))
+    bb_params = backbone.init(rng, frames[:1])
+    feats = backbone.apply(bb_params, frames[:1])
+    params = model.init(
+        rng,
+        dict(batch_slice(batch, 1), visual_feats=feats),
+        deterministic=True,
+    )
+
+    @jax.jit
+    def forward(params, bb_params, frames, batch):
+        feats = backbone.apply(bb_params, frames)
+        out = model.apply(
+            params, dict(batch, visual_feats=feats), deterministic=True)
+        return jnp.argmax(out["hg_logit"], axis=-1)
+
+    # warmup / compile
+    out = forward(params, bb_params, frames, batch)
+    out.block_until_ready()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(params, bb_params, frames, batch)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = batch_size * iters / dt
+    n_chips = max(1, jax.device_count())
+    value = clips_per_sec / n_chips
+    print(json.dumps({
+        "metric": "clips/sec/chip (frames->answer, HGQA b8 bf16)",
+        "value": round(value, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": 1.0,
+    }))
+
+
+def batch_slice(batch, n):
+    return {k: v[:n] for k, v in batch.items()}
+
+
+if __name__ == "__main__":
+    main()

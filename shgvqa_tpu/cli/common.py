@@ -1,0 +1,236 @@
+"""Shared driver machinery for the four CLI entry points.
+
+The reference ships four near-copy driver scripts (agqaHGQA.py 1075 LoC,
+agqaVQA.py 739, agqaQ.py 734, star.py 794 — SURVEY.md §2.3); here the common
+train/valid/test orchestration lives once and each entry point is a thin
+task/dataset binding that accepts the reference's flags.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from shgvqa_tpu.configs.cli import parse_reference_flags_with_extras
+from shgvqa_tpu.configs.config import Config
+from shgvqa_tpu.data.agqa import (
+    AGQAData,
+    AGQAItemSource,
+    FrameLoader,
+    SyntheticFrameLoader,
+)
+from shgvqa_tpu.data.pipeline import Batcher, prefetch
+from shgvqa_tpu.data.star import STARData, STARItemSource, trim_keyframes
+from shgvqa_tpu.data.tokenization import (
+    BertTokenizer,
+    build_vocab_from_corpus,
+)
+from shgvqa_tpu.models.shgvqa import ShgVqaModel, VideoShgVqaModel
+from shgvqa_tpu.train.loop import Trainer
+
+
+def build_tokenizer(cfg: Config, extras: dict, corpus) -> BertTokenizer:
+    path = extras.get("vocab_path") or os.path.join(
+        cfg.data.data_dir, "vocab.txt")
+    if not os.path.isfile(path):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        print(f"vocab {path} not found; building whole-word vocab from the "
+              f"split corpus ({len(corpus)} texts)", flush=True)
+        build_vocab_from_corpus(corpus, path)
+    return BertTokenizer(path)
+
+
+def build_data(cfg: Config, extras: dict, split: str):
+    """Returns the raw data object for a split (synthetic or from files)."""
+    n_syn = extras.get("synthetic_data") or 0
+    if cfg.data.dataset == "star":
+        if n_syn:
+            return STARData.synthetic(cfg, split, n=n_syn,
+                                      seed=hash(split) % 1000)
+        return STARData.from_files(cfg, split)
+    if n_syn:
+        return AGQAData.synthetic(cfg, split, n=n_syn,
+                                  seed=hash(split) % 1000)
+    return AGQAData.from_files(cfg, split)
+
+
+def build_item_source(cfg: Config, extras: dict, data, tokenizer,
+                      test_mode: bool = False):
+    needs_video = cfg.task != "q"
+    n_syn = extras.get("synthetic_data") or 0
+    loader = None
+    if needs_video:
+        if n_syn:
+            loader = SyntheticFrameLoader(cfg.data.clip_len,
+                                          cfg.data.image_size)
+            if cfg.data.dataset == "star":
+                base = loader
+                loader = lambda vid, fids=None: base(vid)  # noqa: E731
+        elif cfg.data.dataset == "star":
+            agqa_like = FrameLoader(cfg.data.frame_dir, {}, cfg.data.clip_len,
+                                    cfg.data.image_size)
+
+            def loader(vid, fids):  # STAR passes explicit keyframes
+                agqa_like.frame_ids = {vid: fids}
+                return agqa_like(vid)
+        else:
+            loader = FrameLoader(cfg.data.frame_dir, data.frame_ids,
+                                 cfg.data.clip_len, cfg.data.image_size)
+    if cfg.data.dataset == "star":
+        return STARItemSource(data, tokenizer, cfg, loader, test_mode)
+    return AGQAItemSource(data, tokenizer, cfg, loader, test_mode)
+
+
+def resolve_num_answers(cfg: Config, data) -> Config:
+    return cfg.replace(num_answers=data.num_answers)
+
+
+def make_model(cfg: Config, has_frames: bool):
+    if has_frames and cfg.task != "q":
+        return VideoShgVqaModel(cfg)
+    return ShgVqaModel(cfg)
+
+
+def run_driver(dataset: str, argv=None) -> dict:
+    """Full train/valid/test orchestration; returns a result summary."""
+    cfg, extras = parse_reference_flags_with_extras(argv, dataset=dataset)
+    import jax
+
+    print(f"shgvqa_tpu {dataset} driver: task={cfg.task} devices="
+          f"{jax.device_count()}", flush=True)
+
+    results: dict = {"task": cfg.task}
+    test_split = cfg.data.test_split
+
+    if test_split:
+        data = build_data(cfg, extras, test_split)
+        cfg = resolve_num_answers(cfg, data)
+        tokenizer = build_tokenizer(
+            cfg, extras, [x["question"] for x in data.datums])
+        src = build_item_source(cfg, extras, data, tokenizer, test_mode=True)
+        batcher = Batcher(src, num_items=len(src),
+                          batch_size=cfg.optim.eval_batch_size,
+                          shuffle=False, seed=cfg.seed)
+        trainer = Trainer(cfg, steps_per_epoch=max(1, len(batcher)),
+                          model=make_model(cfg, has_frames=bool(
+                              extras.get("synthetic_data") or
+                              os.path.isdir(cfg.data.frame_dir))))
+        example = _example_from(batcher)
+        trainer.init_params(example)
+        if cfg.load:
+            trainer.load(cfg.load)
+        q2a, hg_q2a = trainer.predict(prefetch(batcher.epoch(0)))
+        results.update(report_test(cfg, data, q2a, hg_q2a))
+        return results
+
+    train_data = build_data(cfg, extras, cfg.data.train_split)
+    cfg = resolve_num_answers(cfg, train_data)
+    tokenizer = build_tokenizer(
+        cfg, extras, [x["question"] for x in train_data.datums])
+    train_src = build_item_source(cfg, extras, train_data, tokenizer)
+    train_batcher = Batcher(
+        train_src, num_items=len(train_src),
+        batch_size=cfg.optim.batch_size, shuffle=True, drop_last=True,
+        seed=cfg.seed)
+
+    valid_batcher = None
+    valid_data = None
+    if cfg.data.valid_split:
+        valid_data = build_data(cfg, extras, cfg.data.valid_split)
+        valid_src = build_item_source(cfg, extras, valid_data, tokenizer)
+        valid_batcher = Batcher(
+            valid_src, num_items=len(valid_src),
+            batch_size=cfg.optim.eval_batch_size, shuffle=False,
+            seed=cfg.seed)
+
+    trainer = Trainer(
+        cfg, steps_per_epoch=max(1, len(train_batcher)),
+        model=make_model(cfg, has_frames=cfg.task != "q"),
+        trainable_mask=None,
+    )
+    example = _example_from(train_batcher)
+    trainer.init_params(example)
+    if cfg.freeze_backbone and cfg.task != "q":
+        # rebuild optimizer with the backbone masked out
+        mask = _backbone_mask(trainer.params)
+        trainer = Trainer(
+            cfg, steps_per_epoch=max(1, len(train_batcher)),
+            model=trainer.model, trainable_mask=mask)
+        trainer.init_params(example)
+    if cfg.load:
+        trainer.load(cfg.load)
+
+    evaluator = valid_data.evaluator() if valid_data is not None else None
+
+    def evaluate(tr) -> Tuple[float, float]:
+        q2a, hg_q2a = tr.predict(prefetch(valid_batcher.epoch(0)))
+        if cfg.data.dataset == "star":
+            return evaluator.evaluate(q2a), evaluator.evaluate(hg_q2a)
+        return (evaluator.evaluate_overall(q2a),
+                evaluator.evaluate_overall(hg_q2a))
+
+    summary = trainer.train(
+        lambda ep: prefetch(train_batcher.epoch(ep)),
+        evaluate if valid_batcher is not None else None,
+    )
+    results.update(summary)
+    return results
+
+
+def report_test(cfg: Config, data, q2a, hg_q2a) -> dict:
+    """AGQA test-protocol fan-out (agqaHGQA.py:815-835) / STAR per-qtype."""
+    out = {}
+    ev = data.evaluator()
+    os.makedirs(cfg.output, exist_ok=True)
+    if cfg.data.dataset == "star":
+        out["acc"] = ev.evaluate(q2a)
+        out["hg_acc"] = ev.evaluate(hg_q2a)
+        out["by_qtype"] = ev.evaluate_by_qtype(hg_q2a)
+        ev.dump_result(q2a, os.path.join(cfg.output, "predict.json"))
+        ev.dump_result(hg_q2a, os.path.join(cfg.output, "predict_hg.json"))
+    else:
+        for name, preds in (("", q2a), ("hg_", hg_q2a)):
+            if cfg.data.indirect_ref:
+                all_q = ev.evaluate_all_qtypes(preds)
+                recall, prec_qs = ev.evaluate_indirect_ref(preds)
+                out[name + "all_qtypes"] = all_q
+                out[name + "indirect_recall"] = recall
+                out[name + "indirect_precision"] = ev.evaluate_precision(
+                    prec_qs)
+            elif cfg.data.novel_comp:
+                out[name + "novel_comp"] = ev.evaluate_novel_comp(preds)
+            elif cfg.data.comp_steps:
+                out[name + "comp_steps"] = ev.evaluate_comp_steps(preds)
+            else:
+                out[name + "all_qtypes"] = ev.evaluate_all_qtypes(preds)
+        ev.dump_result(q2a, os.path.join(cfg.output, "predict.json"),
+                       indirect_ref=cfg.data.indirect_ref)
+        ev.dump_result(hg_q2a, os.path.join(cfg.output, "predict_hg.json"),
+                       indirect_ref=cfg.data.indirect_ref)
+    for k, v in out.items():
+        print(f"{k}: {v}", flush=True)
+    return out
+
+
+def _example_from(batcher: Batcher):
+    batch = next(batcher.epoch(0))
+    batch.pop("ques_id", None)
+    batch.pop("n_valid", None)
+    return batch
+
+
+def _backbone_mask(params):
+    """True = trainable; backbone subtree frozen."""
+    import jax
+
+    def mask_tree(tree, frozen):
+        return jax.tree_util.tree_map(lambda _: not frozen, tree)
+
+    out = {}
+    for top_k, sub in params.items():
+        out[top_k] = {}
+        for k, v in sub.items():
+            out[top_k][k] = mask_tree(v, frozen=(k == "backbone"))
+    return out

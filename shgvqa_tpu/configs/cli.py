@@ -130,6 +130,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true")
     p.add_argument("--dataParallel", dest="data_parallel", type=int, default=-1)
     p.add_argument("--modelParallel", dest="model_parallel", type=int, default=1)
+    p.add_argument("--syntheticData", dest="synthetic_data", type=int,
+                   default=0, metavar="N",
+                   help="run on N synthetic examples instead of files "
+                        "(smoke/bench)")
+    p.add_argument("--vocab", dest="vocab_path", default=None,
+                   help="WordPiece vocab.txt (default: {dataDir}/vocab.txt)")
     return p
 
 
@@ -238,5 +244,20 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         remat=ns.remat,
         use_pallas_attention=ns.use_pallas_attention,
     )
+    cfg = cfg.replace(after_cross_attn_feats=ns.after_cross_attn_feats)
     cfg.validate()
     return cfg
+
+
+def parse_reference_flags_with_extras(argv: Optional[Sequence[str]] = None,
+                                      dataset: Optional[str] = None):
+    """Like parse_reference_flags, plus driver-only extras (synthetic data
+    size, vocab path, tqdm)."""
+    ns = build_parser().parse_args(argv)
+    cfg = parse_reference_flags(argv, dataset)
+    extras = {
+        "synthetic_data": ns.synthetic_data,
+        "vocab_path": ns.vocab_path,
+        "tqdm": ns.tqdm,
+    }
+    return cfg, extras

@@ -17,7 +17,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 
-@dataclass
+@dataclass(frozen=True)
 class EncoderConfig:
     """LXMERT-style tri-stream encoder dimensions (bert-base by default).
 
@@ -65,7 +65,7 @@ class EncoderConfig:
         return self.hidden_size // self.num_heads
 
 
-@dataclass
+@dataclass(frozen=True)
 class DecoderConfig:
     """Situation-hypergraph DETR-style decoder (lxrt/transformer.py:86-297)."""
 
@@ -77,7 +77,7 @@ class DecoderConfig:
     linear_cls: bool = False       # --linearCls: plain Linear classifier heads
 
 
-@dataclass
+@dataclass(frozen=True)
 class DataConfig:
     """Dataset geometry and paths."""
 
@@ -127,7 +127,7 @@ class DataConfig:
         return self.num_situations * self.num_act     # 48
 
 
-@dataclass
+@dataclass(frozen=True)
 class OptimConfig:
     """BertAdam-equivalent optimizer (lxrt/optimization.py:52-180)."""
 
@@ -146,7 +146,7 @@ class OptimConfig:
     early_stop_patience: int = 10  # epochs without valid improvement
 
 
-@dataclass
+@dataclass(frozen=True)
 class MeshConfig:
     """Device mesh for pjit scale-out.  The reference's only parallelism is
     single-process nn.DataParallel over <=2 GPUs (agqaHGQA.py:124-129); here
@@ -159,7 +159,7 @@ class MeshConfig:
     model_parallel: int = 1
 
 
-@dataclass
+@dataclass(frozen=True)
 class Config:
     """Top-level run configuration."""
 
@@ -188,6 +188,9 @@ class Config:
     num_rel_classes: int = 456      # AGQA (agqaHGQA.py:102); STAR: 563
     num_act_classes: int = 157      # AGQA action_classes.txt; STAR: 111
     num_answers: int = 171          # resolved from answer vocab at dataset load
+
+    # use post-cross-attention streams as decoder memory (--afterCrossAttnFeats)
+    after_cross_attn_feats: bool = False
 
     seed: int = 9595                # --seed
     output: str = "snap/run"        # --output

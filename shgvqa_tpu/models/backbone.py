@@ -1,0 +1,164 @@
+"""Video backbones (flax).
+
+The reference constructs torch.hub pytorchvideo backbones with the
+classification head replaced by Identity (``video_encoder.py:30-51``) and runs
+them in eval mode inside the train loop (``agqaHGQA.py:263`` — BatchNorm uses
+running stats; STAR additionally freezes the params, ``star.py:87-88``).
+
+``SlowR50`` is a ground-up flax implementation of the slow-pathway 3D
+ResNet-50 (SlowFast paper, slow-only): for a (B, 16, 224, 224, 3) clip it
+produces (B, 16, 7, 7, 2048) features — the (B, 2048, 16, 7, 7) the reference
+feeds its conv tokenizer, in TPU-friendly channels-last layout.
+
+Architecture facts (matching pytorchvideo ``slow_r50``):
+- stem: conv(1,7,7)/stride(1,2,2) -> BN -> ReLU -> maxpool(1,3,3)/s(1,2,2)
+- 4 bottleneck stages, depths (3,4,6,3), widths (256,512,1024,2048)
+- temporal kernel on the first 1x1 conv of each bottleneck: 1 in res2/res3,
+  3 in res4/res5 (slow path has no temporal convs early, per the paper)
+- spatial stride 2 at the entry block of res3/res4/res5 (on the 3x3 conv)
+- no temporal striding anywhere: T is preserved.
+
+BatchNorm always runs with running statistics (eval-mode), matching the
+reference's usage; ``tools/convert_slow_r50.py`` ports torch weights.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm that ALWAYS uses stored running statistics (the reference
+    backbone never leaves eval mode)."""
+
+    features: int
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,))).value
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,))).value
+        inv = (scale / jnp.sqrt(var + self.eps)).astype(self.dtype)
+        return x * inv + (bias - mean * scale / jnp.sqrt(var + self.eps)
+                          ).astype(self.dtype)
+
+
+def _conv(features: int, kernel: Tuple[int, int, int],
+          strides: Tuple[int, int, int], dtype, name: str) -> nn.Conv:
+    pad = tuple((k // 2, k // 2) for k in kernel)
+    return nn.Conv(
+        features, kernel_size=kernel, strides=strides, padding=pad,
+        use_bias=False, dtype=dtype, param_dtype=jnp.float32,
+        kernel_init=nn.initializers.he_normal(), name=name,
+    )
+
+
+class Bottleneck3D(nn.Module):
+    mid: int
+    out: int
+    temporal_kernel: int = 1
+    spatial_stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dt = self.dtype
+        tk = self.temporal_kernel
+        ss = self.spatial_stride
+        residual = x
+        h = _conv(self.mid, (tk, 1, 1), (1, 1, 1), dt, "conv_a")(x)
+        h = FrozenBatchNorm(self.mid, dtype=dt, name="bn_a")(h)
+        h = nn.relu(h)
+        h = _conv(self.mid, (1, 3, 3), (1, ss, ss), dt, "conv_b")(h)
+        h = FrozenBatchNorm(self.mid, dtype=dt, name="bn_b")(h)
+        h = nn.relu(h)
+        h = _conv(self.out, (1, 1, 1), (1, 1, 1), dt, "conv_c")(h)
+        h = FrozenBatchNorm(self.out, dtype=dt, name="bn_c")(h)
+        if residual.shape[-1] != self.out or ss != 1:
+            residual = _conv(self.out, (1, 1, 1), (1, ss, ss), dt,
+                             "conv_proj")(residual)
+            residual = FrozenBatchNorm(self.out, dtype=dt,
+                                       name="bn_proj")(residual)
+        return nn.relu(h + residual)
+
+
+class ResStage(nn.Module):
+    depth: int
+    mid: int
+    out: int
+    temporal_kernel: int
+    spatial_stride: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.depth):
+            x = Bottleneck3D(
+                mid=self.mid,
+                out=self.out,
+                temporal_kernel=self.temporal_kernel,
+                spatial_stride=self.spatial_stride if i == 0 else 1,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(x)
+        return x
+
+
+class SlowR50(nn.Module):
+    """Slow-pathway 3D ResNet-50 feature extractor (head removed)."""
+
+    dtype: Dtype = jnp.float32
+    depths: Sequence[int] = (3, 4, 6, 3)
+    temporal_kernels: Sequence[int] = (1, 1, 3, 3)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, T, H, W, 3) normalized frames -> (B, T, H/32, W/32, 2048)."""
+        dt = self.dtype
+        x = x.astype(dt)
+        h = _conv(64, (1, 7, 7), (1, 2, 2), dt, "stem_conv")(x)
+        h = FrozenBatchNorm(64, dtype=dt, name="stem_bn")(h)
+        h = nn.relu(h)
+        h = nn.max_pool(h, window_shape=(1, 3, 3), strides=(1, 2, 2),
+                        padding=((0, 0), (1, 1), (1, 1)))
+        mids = (64, 128, 256, 512)
+        outs = (256, 512, 1024, 2048)
+        strides = (1, 2, 2, 2)
+        for i in range(4):
+            h = ResStage(
+                depth=self.depths[i],
+                mid=mids[i],
+                out=outs[i],
+                temporal_kernel=self.temporal_kernels[i],
+                spatial_stride=strides[i],
+                dtype=dt,
+                name=f"res_{i + 2}",
+            )(h)
+        return h
+
+
+BACKBONES = {"slow_r50": SlowR50}
+
+
+def make_backbone(name: str, dtype=jnp.float32) -> nn.Module:
+    """Backbone registry (video_encoder.py backbone_dict equivalent).
+    slowfast_r50/r101, resnext101, mvit_B, video_swin are inventory items of
+    the reference registry; slow_r50 is the backbone of every published
+    recipe.  Others raise NotImplementedError (like the reference's
+    video_swin, video_encoder.py:24)."""
+    if name not in BACKBONES:
+        raise NotImplementedError(
+            f"backbone '{name}' not implemented; available: "
+            f"{sorted(BACKBONES)}"
+        )
+    return BACKBONES[name](dtype=dtype)

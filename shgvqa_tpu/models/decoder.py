@@ -1,0 +1,145 @@
+"""DETR-style transformer decoder for situation-hypergraph queries.
+
+Rebuild of ``lxrt/transformer.py:86-297`` (post-norm variant, the one
+``AGQAModel`` instantiates): per layer — self-attention over queries with the
+situation-causal additive ``tgt_mask``, cross-attention into the visual
+memory, ReLU FFN; residual + LayerNorm(eps=1e-5, torch default) after each.
+
+Positional handling matches DETR: the learned query embedding is ADDED to q/k
+at every layer (``with_pos_embed``), values stay position-free, and the
+initial target is zeros (``agqa_model.py:235``).
+
+Init parity: torch ``nn.MultiheadAttention`` packs q/k/v into one
+xavier-uniform ``in_proj`` while ``init_bert_weights`` re-inits only Linear
+modules, so after ``rel_decoder.apply(init_bert_weights)``
+(``agqa_model.py:128``) in_proj stays xavier-uniform and out_proj/FFN become
+normal(0.02).  We reproduce exactly that split.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from shgvqa_tpu.models.layers import Dense, bert_kernel_init
+
+Dtype = Any
+
+
+class TorchMHA(nn.Module):
+    """torch.nn.MultiheadAttention-equivalent (packed qkv, additive mask)."""
+
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, attn_mask=None, deterministic=True):
+        d = query.shape[-1]
+        h = self.num_heads
+        hd = d // h
+        in_proj = nn.Dense(
+            3 * d, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros, name="in_proj",
+        )
+        # torch packs [q; k; v] along the output dim of one weight; applying
+        # the same packed projection to each input slice-by-slice is
+        # mathematically identical.
+        wq = in_proj(query)[..., :d]
+        wk = in_proj(key)[..., d:2 * d]
+        wv = in_proj(value)[..., 2 * d:]
+
+        def split(x):
+            b, l, _ = x.shape
+            return x.reshape(b, l, h, hd)
+
+        q, k, v = split(wq), split(wk), split(wv)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(hd))
+        if attn_mask is not None:
+            # additive (Lq, Lk) or broadcastable
+            scores = scores + attn_mask.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(out.shape[0], out.shape[1], d)
+        out = Dense(d, dtype=self.dtype, kernel_init=bert_kernel_init,
+                    name="out_proj")(out)
+        return out
+
+
+class LayerNormT(nn.Module):
+    """LayerNorm with torch-default eps=1e-5 (decoder norms)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (y * scale + bias).astype(self.dtype)
+
+
+class DecoderLayer(nn.Module):
+    """Post-norm DETR decoder layer (transformer.py:187-244 forward_post)."""
+
+    num_heads: int
+    ffn_dim: int
+    dropout: float = 0.15
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, query_pos, tgt_mask=None,
+                 memory_mask=None, deterministic=True):
+        drop = lambda x: nn.Dropout(self.dropout)(  # noqa: E731
+            x, deterministic=deterministic)
+
+        q = k = tgt + query_pos
+        sa = TorchMHA(self.num_heads, self.dropout, dtype=self.dtype,
+                      name="self_attn")(q, k, tgt, tgt_mask, deterministic)
+        tgt = LayerNormT(dtype=self.dtype, name="norm1")(tgt + drop(sa))
+
+        ca = TorchMHA(self.num_heads, self.dropout, dtype=self.dtype,
+                      name="multihead_attn")(
+            tgt + query_pos, memory, memory, memory_mask, deterministic)
+        tgt = LayerNormT(dtype=self.dtype, name="norm2")(tgt + drop(ca))
+
+        h = Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(tgt)
+        h = jax.nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dense(tgt.shape[-1], dtype=self.dtype, name="linear2")(h)
+        tgt = LayerNormT(dtype=self.dtype, name="norm3")(tgt + drop(h))
+        return tgt
+
+
+class HGDecoder(nn.Module):
+    """Stack of untied decoder layers (TransformerDecoder, deep-copied
+    clones in the reference -> independent params here)."""
+
+    num_layers: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float = 0.15
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query_pos, memory, tgt_mask=None, memory_mask=None,
+                 deterministic=True):
+        """query_pos: (B, Q, D) learned queries; initial tgt is zeros
+        (agqa_model.py:235).  Returns (B, Q, D)."""
+        tgt = jnp.zeros_like(query_pos)
+        for i in range(self.num_layers):
+            tgt = DecoderLayer(
+                self.num_heads, self.ffn_dim, self.dropout, dtype=self.dtype,
+                name=f"layer_{i}",
+            )(tgt, memory, query_pos, tgt_mask, memory_mask, deterministic)
+        return tgt

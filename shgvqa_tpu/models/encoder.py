@@ -1,0 +1,201 @@
+"""Tri-stream LXMERT-style encoder (language / visual / cross-modal).
+
+Rebuild of ``NoCapsEncoder``/``NoCapsModel`` (``modeling_capsbert.py:
+1218-1302, 1787-1860``) plus the Q-only (``BertNoCapsEncoder:2200``) and deaf
+(``DeafNoCapsEncoder:2470``) variants as one shape-polymorphic module.
+
+Parity-critical semantics:
+- x_layers are WEIGHT-TIED by default: the reference materializes one layer
+  instance and lists it x_layers times (``modeling_capsbert.py:1247-1249``).
+  Here: one flax submodule called in a loop (tied) vs a list (untied).
+- the hypergraph decoder consumes the PRE-cross-attention stream snapshots
+  (lang after l_layers, visn after r_layers) — the reference smuggles them
+  through ``attn_probs[-1]`` (``modeling_capsbert.py:1302``,
+  ``agqa_model.py:218``); we return them explicitly.
+- deaf mode ('--taskVHGA') forces the language attention mask to all-masked
+  (``modeling_capsbert.py:2588``): softmax over a constant -10000 row is
+  uniform, so language tokens become uninformative.
+- masks are additive -10000 built from {0,1} masks exactly like
+  ``NoCapsModel.forward`` (:1826-1844).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from shgvqa_tpu.configs.config import EncoderConfig
+from shgvqa_tpu.models.cross import CROSS_LAYER_TYPES
+from shgvqa_tpu.models.layers import (
+    BertEmbeddings,
+    BertLayer,
+    Pooler,
+    Pooler2,
+    extend_mask,
+)
+from shgvqa_tpu.models.visual import VisualTokenizer
+
+Dtype = Any
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+class TriStreamEncoder(nn.Module):
+    """l_layers on text, r_layers on visual tokens, x_layers cross-modal."""
+
+    cfg: EncoderConfig
+    compute_dtype: str = "float32"
+
+    def setup(self):
+        c = self.cfg
+        dt = _dtype(self.compute_dtype)
+        kw = dict(
+            num_heads=c.num_heads,
+            head_dim=c.head_dim,
+            intermediate_size=c.intermediate_size,
+            attn_dropout=c.attention_dropout,
+            hidden_dropout=c.hidden_dropout,
+            dtype=dt,
+        )
+        self.visual_tokenizer = VisualTokenizer(
+            hidden_size=c.hidden_size, dropout=c.hidden_dropout, dtype=dt
+        )
+        self.l_layers = [BertLayer(**kw, name=f"l_{i}")
+                         for i in range(c.l_layers)]
+        self.r_layers = [BertLayer(**kw, name=f"r_{i}")
+                         for i in range(c.r_layers)]
+        layer_cls = CROSS_LAYER_TYPES[c.cross_attn_type]
+        if c.tie_x_layers:
+            self.x_layers = [layer_cls(**kw, name="x_tied")]
+        else:
+            self.x_layers = [layer_cls(**kw, name=f"x_{i}")
+                             for i in range(c.x_layers)]
+
+    def __call__(
+        self,
+        lang_emb: jnp.ndarray,                 # (B, Lt, D) embedded text
+        lang_mask: Optional[jnp.ndarray],      # additive (B,1,1,Lt) or None
+        visual_feats: jnp.ndarray,             # (B, T, H, W, C) backbone feats
+        visn_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Returns (lang_out, visn_out, lang_snapshot, visn_snapshot)."""
+        c = self.cfg
+        visn = self.visual_tokenizer(visual_feats, deterministic)
+
+        lang = lang_emb
+        for layer in self.l_layers:
+            lang, _ = layer(lang, lang_mask, deterministic)
+        lang_snapshot = lang
+
+        for layer in self.r_layers:
+            visn, _ = layer(visn, visn_mask, deterministic)
+        visn_snapshot = visn
+
+        x_layers = self.x_layers * c.x_layers if c.tie_x_layers else self.x_layers
+        for step, layer in enumerate(x_layers):
+            lang, visn, _ = layer(lang, lang_mask, visn, visn_mask,
+                                  step=step, deterministic=deterministic)
+        return lang, visn, lang_snapshot, visn_snapshot
+
+
+class LanguageEncoder(nn.Module):
+    """Q-only path (BertNoCapsEncoder/BertNoCapsModel)."""
+
+    cfg: EncoderConfig
+    compute_dtype: str = "float32"
+
+    def setup(self):
+        c = self.cfg
+        dt = _dtype(self.compute_dtype)
+        self.embeddings = BertEmbeddings(
+            vocab_size=c.vocab_size,
+            hidden_size=c.hidden_size,
+            max_position_embeddings=c.max_position_embeddings,
+            type_vocab_size=c.type_vocab_size,
+            dropout=c.hidden_dropout,
+            dtype=dt,
+        )
+        kw = dict(
+            num_heads=c.num_heads,
+            head_dim=c.head_dim,
+            intermediate_size=c.intermediate_size,
+            attn_dropout=c.attention_dropout,
+            hidden_dropout=c.hidden_dropout,
+            dtype=dt,
+        )
+        self.layers = [BertLayer(**kw, name=f"l_{i}")
+                       for i in range(c.l_layers)]
+        self.pooler = Pooler(c.hidden_size, dtype=dt)
+
+    def __call__(self, input_ids, input_mask, segment_ids=None,
+                 deterministic=True):
+        dt = _dtype(self.compute_dtype)
+        ext = extend_mask(input_mask, dt)
+        x = self.embeddings(input_ids, segment_ids, deterministic)
+        for layer in self.layers:
+            x, _ = layer(x, ext, deterministic)
+        return x, self.pooler(x)
+
+
+class LXRTModel(nn.Module):
+    """Full text+video encoder: embeddings -> tri-stream -> pooled output.
+
+    Equivalent of NoCapsModel (modeling_capsbert.py:1787-1860); ``deaf=True``
+    reproduces DeafNoCapsModel (language mask forced to zeros, :2588).
+    Pooler choice follows the pooler_dict keyed by cross_attn_type
+    (:1801-1810): 'cross' -> Pooler2(concat CLS of both streams), others ->
+    single-stream Pooler.
+    """
+
+    cfg: EncoderConfig
+    compute_dtype: str = "float32"
+    deaf: bool = False
+
+    def setup(self):
+        c = self.cfg
+        dt = _dtype(self.compute_dtype)
+        self.embeddings = BertEmbeddings(
+            vocab_size=c.vocab_size,
+            hidden_size=c.hidden_size,
+            max_position_embeddings=c.max_position_embeddings,
+            type_vocab_size=c.type_vocab_size,
+            dropout=c.hidden_dropout,
+            dtype=dt,
+        )
+        self.encoder = TriStreamEncoder(c, self.compute_dtype)
+        if c.cross_attn_type in ("cross",):
+            self.pooler = Pooler2(c.hidden_size, dtype=dt)
+        else:
+            self.pooler = Pooler(c.hidden_size, dtype=dt)
+
+    def __call__(self, input_ids, input_mask, segment_ids, visual_feats,
+                 visual_mask=None, deterministic=True):
+        """visual_feats: (B, T, H, W, C); visual_mask: {0,1} (B, Lv) over
+        tokenized visual sequence (the reference's dummy ``boxes`` of ones,
+        agqa_data.py:216-217) or None.
+
+        Returns (pooled, lang_out, visn_out, lang_snapshot, visn_snapshot,
+        lang_ext_mask)."""
+        dt = _dtype(self.compute_dtype)
+        if self.deaf:
+            input_mask = jnp.zeros_like(input_mask)
+        lang_ext = extend_mask(input_mask, dt)
+        visn_ext = extend_mask(visual_mask, dt) if visual_mask is not None else None
+
+        emb = self.embeddings(input_ids, segment_ids, deterministic)
+        lang, visn, lang_snap, visn_snap = self.encoder(
+            emb, lang_ext, visual_feats, visn_ext, deterministic
+        )
+        # pooler(visn_feats, lang_feats) order per NoCapsModel.forward:1855.
+        # With 'self'/'cross_self' the joint stream is `visn`; Pooler takes
+        # its first token, matching the reference.
+        if isinstance(self.pooler, Pooler2):
+            pooled = self.pooler(visn, lang)
+        else:
+            pooled = self.pooler(visn)
+        return pooled, lang, visn, lang_snap, visn_snap, lang_ext

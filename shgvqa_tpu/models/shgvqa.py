@@ -1,0 +1,252 @@
+"""Full SHG-VQA task model assembly.
+
+Rebuild of ``AGQAModel`` (``tasks/agqa_model.py:17-269``) and ``STARModel``
+(``tasks/star_model.py``) as one task-routed flax module.
+
+Forward contract (task 'hgqa'/'vhga'/'hgvqa'), matching agqa_model.py:166-269:
+1. video backbone features -> tri-stream encoder; answer ``logit`` from the
+   pooled post-cross-attention output through ``logit_fc`` (UNSUPERVISED in
+   HGQA training — the reference computes it but backprops nothing through it,
+   agqaHGQA.py:344-378).
+2. the decoder memory is the PRE-cross-attention visual snapshot
+   (``attn_probs[-1]`` in the reference; explicit return here), unless
+   ``after_cross_attn_feats``.
+3. rel/act HG decoders run from zero targets with the learned query tables as
+   positional queries under the situation-causal mask; MLP heads produce
+   class logits over (num_classes+1) with background 0.
+4. hg tokens per situation = [act slots ++ rel slots] fed with act/rel type
+   tokens + CLS into the HG<->question cross encoder; ``hg_logit`` via the
+   SAME ``logit_fc`` module (shared head, agqa_model.py:205+266) — or
+   ``logit_fc2`` on concat(x, x_hg) for 'hgvqa' (star_model.py:189-191).
+
+GT-HG mode embeds ground-truth label ids as the hypergraph
+(agqa_model.py:223-231) and skips the decoders.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from shgvqa_tpu.configs.config import Config
+from shgvqa_tpu.data.featurize import hg_segment_ids, situation_causal_mask
+from shgvqa_tpu.models.decoder import HGDecoder
+from shgvqa_tpu.models.encoder import LXRTModel, LanguageEncoder
+from shgvqa_tpu.models.hg import HGEmbeddings, HGQCrossEncoder
+from shgvqa_tpu.models.layers import Dense, MLPHead
+
+Dtype = Any
+
+
+class ShgVqaModel(nn.Module):
+    """Task-routed SHG-VQA model.
+
+    Inputs come pre-featurized (static shapes) from the data pipeline; the
+    video backbone runs outside this module (frozen feature extractor, like
+    the reference's ``vid_encoder.eval()`` usage) or via
+    ``models.backbone.SlowR50``.
+    """
+
+    cfg: Config
+
+    def setup(self):
+        cfg = self.cfg
+        enc = cfg.encoder
+        dt = cfg.compute_dtype
+        task = cfg.task
+
+        if task == "q":
+            self.bert_encoder = LanguageEncoder(enc, dt)
+        else:
+            self.lxrt = LXRTModel(enc, dt, deaf=(task == "vhga"))
+
+        if task in ("hgqa", "vhga", "hgvqa"):
+            s = cfg.data.num_situations
+            num_rel_q = cfg.data.num_rel_queries
+            num_act_q = cfg.data.num_act_queries
+            # GT-HG mode sizes the tables by class vocab (agqa_model.py:33-34)
+            rel_table = cfg.num_rel_classes + 1 if cfg.gt_hg else num_rel_q
+            act_table = cfg.num_act_classes + 1 if cfg.gt_hg else num_act_q
+            self.relation_query_embed = HGEmbeddings(
+                num_queries=rel_table,
+                hidden_size=enc.hidden_size,
+                type_vocab_size=s,
+                gt_hg=cfg.gt_hg,
+                dtype=_dt(dt),
+            )
+            self.action_query_embed = HGEmbeddings(
+                num_queries=act_table,
+                hidden_size=enc.hidden_size,
+                type_vocab_size=s,
+                dropout=cfg.decoder.emb_dropout,
+                gt_hg=cfg.gt_hg,
+                dtype=_dt(dt),
+            )
+            dec_kw = dict(
+                num_layers=cfg.decoder.num_layers,
+                num_heads=cfg.decoder.num_heads,
+                ffn_dim=cfg.decoder.ffn_dim,
+                dropout=cfg.decoder.dropout,
+                dtype=_dt(dt),
+            )
+            self.rel_decoder = HGDecoder(**dec_kw)
+            self.action_decoder = HGDecoder(**dec_kw)
+            if cfg.decoder.linear_cls:
+                self.class_embed = Dense(cfg.num_rel_classes + 1, dtype=_dt(dt))
+                self.action_embed = Dense(cfg.num_act_classes + 1, dtype=_dt(dt))
+            else:
+                self.class_embed = MLPHead(cfg.num_rel_classes + 1, dtype=_dt(dt))
+                self.action_embed = MLPHead(cfg.num_act_classes + 1, dtype=_dt(dt))
+            self.hgq_encoder = HGQCrossEncoder(
+                enc,
+                num_max_act=cfg.data.num_act,
+                num_max_rel=cfg.data.num_rel,
+                compute_dtype=dt,
+            )
+            if task == "hgvqa":
+                self.logit_fc2 = MLPHead(cfg.num_answers, dtype=_dt(dt))
+
+        self.logit_fc = MLPHead(cfg.num_answers, dtype=_dt(dt))
+
+    def __call__(self, batch: Dict[str, jnp.ndarray],
+                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        task = cfg.task
+
+        if task == "q":
+            _, pooled = self.bert_encoder(
+                batch["input_ids"], batch["input_mask"],
+                batch.get("segment_ids"), deterministic,
+            )
+            return {"logit": self.logit_fc(pooled)}
+
+        pooled, lang, visn, lang_snap, visn_snap, lang_ext = self.lxrt(
+            batch["input_ids"], batch["input_mask"], batch.get("segment_ids"),
+            batch["visual_feats"], batch.get("visual_mask"), deterministic,
+        )
+        logit = self.logit_fc(pooled)
+        if task == "vqa":
+            return {"logit": logit}
+
+        # decoder memory: pre-cross-attention visual stream by default
+        # (agqa_model.py:215-218)
+        memory = visn if cfg.after_cross_attn_feats else visn_snap
+        lang_feats = lang if cfg.after_cross_attn_feats else lang_snap
+
+        b = memory.shape[0]
+        s = cfg.data.num_situations
+        d = cfg.encoder.hidden_size
+
+        rel_seg = jnp.asarray(
+            hg_segment_ids(s, cfg.data.num_rel), dtype=jnp.int32)
+        act_seg = jnp.asarray(
+            hg_segment_ids(s, cfg.data.num_act), dtype=jnp.int32)
+        rel_seg = jnp.broadcast_to(rel_seg[None], (b, rel_seg.shape[0]))
+        act_seg = jnp.broadcast_to(act_seg[None], (b, act_seg.shape[0]))
+
+        if cfg.gt_hg and "rel_tgt_ids" in batch and "act_tgt_ids" in batch:
+            rel_q = self.relation_query_embed(
+                rel_seg, batch["rel_tgt_ids"], deterministic)
+            act_q = self.action_query_embed(
+                act_seg, batch["act_tgt_ids"], deterministic)
+            rel_out, act_out = rel_q, act_q
+            rel_preds = act_preds = None
+        else:
+            rel_mask = jnp.asarray(_np_causal(s, cfg.data.num_rel))
+            act_mask = jnp.asarray(_np_causal(s, cfg.data.num_act))
+            rel_q = self.relation_query_embed(rel_seg, None, deterministic)
+            act_q = self.action_query_embed(act_seg, None, deterministic)
+            rel_out = self.rel_decoder(rel_q, memory, rel_mask,
+                                       deterministic=deterministic)
+            act_out = self.action_decoder(act_q, memory, act_mask,
+                                          deterministic=deterministic)
+            rel_preds = self.class_embed(rel_out)
+            act_preds = self.action_embed(act_out)
+
+        # hg tokens: per situation [act slots ++ rel slots]
+        hg_in = jnp.concatenate(
+            [act_out.reshape(b, s, -1, d), rel_out.reshape(b, s, -1, d)],
+            axis=2,
+        ).reshape(b, -1, d)
+
+        hg_mask = batch.get("hg_mask") if cfg.use_hg_mask else None
+        x_hg = self.hgq_encoder(lang_feats, lang_ext, hg_in, hg_mask,
+                                deterministic)
+        if task == "hgvqa":
+            hg_logit = self.logit_fc2(
+                jnp.concatenate([pooled, x_hg], axis=-1))
+        else:
+            hg_logit = self.logit_fc(x_hg)
+
+        out = {"logit": logit, "hg_logit": hg_logit}
+        if rel_preds is not None:
+            out["rel_preds"] = rel_preds
+            out["act_preds"] = act_preds
+        return out
+
+
+class VideoShgVqaModel(nn.Module):
+    """Frames->answer model: slow_r50 backbone + ShgVqaModel head.
+
+    The backbone runs in eval mode (frozen BatchNorm running stats) like the
+    reference's ``vid_encoder.eval()`` (``agqaHGQA.py:263``); with
+    ``cfg.freeze_backbone`` its params also get no gradient (STAR recipe,
+    ``star.py:87-88``) via stop_gradient — pair with a trainable_mask on the
+    optimizer to skip the moment buffers too.
+    """
+
+    cfg: Config
+
+    def setup(self):
+        from shgvqa_tpu.models.backbone import make_backbone
+
+        self.backbone = make_backbone(
+            self.cfg.backbone, dtype=_dt(self.cfg.compute_dtype))
+        self.head = ShgVqaModel(self.cfg)
+
+    def __call__(self, batch: Dict[str, jnp.ndarray],
+                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        from shgvqa_tpu.data.transforms import (
+            NORM_STATS,
+            normalize_clip,
+            rand_augment,
+        )
+
+        if "frames" in batch and self.cfg.task != "q":
+            frames = batch["frames"]
+            if jnp.issubdtype(frames.dtype, jnp.integer):
+                frames = frames.astype(jnp.float32) / 255.0
+            aug = self.cfg.data.augment_type
+            if not deterministic and aug in ("rand_aug", "rand_aug_slowfast",
+                                             "aug_mix"):
+                key = self.make_rng("augment")
+                keys = jax.random.split(key, frames.shape[0])
+                if aug == "aug_mix":
+                    frames = jax.vmap(
+                        lambda f, k: rand_augment(f, k, num_layers=3,
+                                                  prob=1.0, magnitude=3)
+                    )(frames, keys)
+                else:
+                    frames = jax.vmap(rand_augment)(frames, keys)
+            mean, std = NORM_STATS.get(self.cfg.backbone,
+                                       NORM_STATS["slow_r50"])
+            frames = normalize_clip(frames, mean, std)
+            feats = self.backbone(frames)
+            if self.cfg.freeze_backbone:
+                feats = jax.lax.stop_gradient(feats)
+            batch = {k: v for k, v in batch.items() if k != "frames"}
+            batch["visual_feats"] = feats
+        return self.head(batch, deterministic)
+
+
+def _dt(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+def _np_causal(s: int, slots: int) -> np.ndarray:
+    # -inf additive mask is constant; computed at trace time (static shapes)
+    return situation_causal_mask(s, slots).astype(np.float32)

@@ -1,0 +1,182 @@
+"""Training / evaluation loops.
+
+The driver logic of ``agqaHGQA.py:233-455`` / ``star.py`` rebuilt around one
+jitted SPMD step:
+
+- epoch loop with early stopping after ``early_stop_patience`` stale
+  validations (``agqaHGQA.py:246-255,435-442``);
+- CURRENT saved every epoch, BEST keyed on the HG-head validation accuracy
+  for hg tasks (``agqaHGQA.py:405,415-419``), LAST at exit (:455);
+- stdout loss lines every ``log_freq`` steps (:385-388);
+- train-time accuracy tracked from the hg head argmax (:394-402).
+
+The loop is deliberately thin: batching/featurization live in the data
+pipeline, device placement + collectives in parallel/, losses in train/step.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shgvqa_tpu.configs.config import Config
+from shgvqa_tpu.models.shgvqa import ShgVqaModel
+from shgvqa_tpu.train.checkpoint import CheckpointManager
+from shgvqa_tpu.train.optimizer import make_optimizer
+from shgvqa_tpu.train.step import compute_losses, make_eval_step
+
+
+class Trainer:
+    def __init__(self, cfg: Config, steps_per_epoch: int,
+                 trainable_mask=None, mesh=None, shardings=None, model=None):
+        self.cfg = cfg
+        self.model = model if model is not None else ShgVqaModel(cfg)
+        t_total = int(steps_per_epoch * cfg.optim.epochs)
+        self.tx = make_optimizer(
+            lr=cfg.optim.lr,
+            t_total=t_total,
+            warmup=cfg.optim.warmup,
+            schedule=cfg.optim.schedule,
+            b1=cfg.optim.b1,
+            b2=cfg.optim.b2,
+            eps=cfg.optim.eps,
+            weight_decay=cfg.optim.weight_decay,
+            grad_clip=cfg.optim.grad_clip,
+            trainable_mask=trainable_mask,
+        )
+        self.params = None
+        self.opt_state = None
+        self.step = 0
+        self.ckpt = CheckpointManager(cfg.output)
+        self._train_step = None
+        self._eval_step = None
+        self.mesh = mesh
+        self.shardings = shardings
+
+    # -- init ------------------------------------------------------------
+    def init_params(self, example_batch: Dict[str, np.ndarray]) -> None:
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        self.params = self.model.init(rng, example_batch, deterministic=True)
+        self.opt_state = self.tx.init(self.params)
+
+    def _build_steps(self):
+        cfg, model, tx = self.cfg, self.model, self.tx
+
+        def loss_fn(params, batch, rng):
+            r_drop, r_aug = jax.random.split(rng)
+            outputs = model.apply(params, batch, deterministic=False,
+                                  rngs={"dropout": r_drop, "augment": r_aug})
+            return compute_losses(cfg, outputs, batch)
+
+        def train_step(params, opt_state, batch, rng):
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            import optax
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        donate = (0, 1) if cfg.donate_state else ()
+        self._train_step = jax.jit(train_step, donate_argnums=donate)
+        self._eval_step = jax.jit(make_eval_step(cfg, model))
+
+    # -- training ---------------------------------------------------------
+    def train(
+        self,
+        train_batches: Callable[[int], Iterable[Dict[str, np.ndarray]]],
+        evaluate: Optional[Callable[["Trainer"], Tuple[float, float]]] = None,
+        log: Callable[[str], None] = lambda s: print(s, flush=True),
+    ) -> Dict[str, Any]:
+        """train_batches(epoch) yields batch dicts (jax-ready arrays plus a
+        'ques_id' list popped before device transfer).  evaluate(self) ->
+        (valid_score, hg_score)."""
+        cfg = self.cfg
+        if self._train_step is None:
+            self._build_steps()
+        rng = jax.random.PRNGKey(cfg.seed)
+        best = 0.0
+        stale = 0
+        history = []
+        try:
+            for epoch in range(cfg.optim.epochs):
+                if evaluate is not None and stale >= cfg.optim.early_stop_patience:
+                    log(f"Early stopping at epoch {epoch} "
+                        f"(no improvement for {stale} validations)")
+                    break
+                t0 = time.time()
+                n_steps = 0
+                for batch in train_batches(epoch):
+                    batch = dict(batch)
+                    batch.pop("ques_id", None)
+                    rng, step_rng = jax.random.split(rng)
+                    self.params, self.opt_state, metrics = self._train_step(
+                        self.params, self.opt_state, batch, step_rng
+                    )
+                    if self.step % cfg.log_freq == 0:
+                        m = {k: float(v) for k, v in metrics.items()}
+                        parts = " ".join(f"{k}={v:0.4f}" for k, v in m.items())
+                        log(f"Epoch {epoch} step {self.step}: {parts}")
+                    self.step += 1
+                    n_steps += 1
+                dt = time.time() - t0
+                log(f"Epoch {epoch}: {n_steps} steps in {dt:0.1f}s")
+                self.ckpt.save("CURRENT", self.state_dict())
+
+                if evaluate is not None:
+                    valid_score, hg_score = evaluate(self)
+                    key_score = (
+                        hg_score if cfg.task in ("hgqa", "vhga", "hgvqa")
+                        else valid_score
+                    )
+                    log(f"Epoch {epoch}: valid {valid_score*100:0.2f} "
+                        f"hg {hg_score*100:0.2f} best {best*100:0.2f}")
+                    if key_score > best:
+                        best = key_score
+                        self.ckpt.save("BEST", self.state_dict())
+                        stale = 0
+                    else:
+                        stale += 1
+                    history.append(
+                        {"epoch": epoch, "valid": valid_score, "hg": hg_score}
+                    )
+        finally:
+            self.ckpt.save("LAST", self.state_dict())
+        return {"best": best, "history": history, "steps": self.step}
+
+    # -- evaluation -------------------------------------------------------
+    def predict(self, batches: Iterable[Dict[str, np.ndarray]]
+                ) -> Tuple[Dict[str, int], Dict[str, int]]:
+        """Returns (quesid2ans from logit, quesid2ans from hg_logit)."""
+        if self._eval_step is None:
+            self._build_steps()
+        quesid2ans: Dict[str, int] = {}
+        hg_quesid2ans: Dict[str, int] = {}
+        for batch in batches:
+            batch = dict(batch)
+            ques_ids = batch.pop("ques_id")
+            n_valid = batch.pop("n_valid", len(ques_ids))
+            preds = self._eval_step(self.params, batch)
+            ans = np.asarray(preds["answer"])
+            hg = np.asarray(preds.get("hg_answer", preds["answer"]))
+            for i, qid in enumerate(ques_ids[:n_valid]):
+                quesid2ans[qid] = int(ans[i])
+                hg_quesid2ans[qid] = int(hg[i])
+        return quesid2ans, hg_quesid2ans
+
+    # -- state ------------------------------------------------------------
+    def state_dict(self):
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "step": self.step,
+        }
+
+    def load(self, name_or_path: str) -> None:
+        state = self.ckpt.restore(name_or_path, template=self.state_dict())
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.step = int(state["step"])

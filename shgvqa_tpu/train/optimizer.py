@@ -1,0 +1,131 @@
+"""BertAdam-equivalent optimizer as an optax transformation.
+
+The reference trains every published recipe with its own ``BertAdam``
+(``lxrt/optimization.py:52-180``), which differs from stock Adam in ways that
+matter for accuracy parity:
+
+- NO bias correction of the first/second moments (:175-178);
+- decoupled weight decay ADDED TO THE UPDATE (update += wd * p) rather than
+  applied multiplicatively (:151-158);
+- the learning-rate schedule is evaluated at ``step / t_total`` with the step
+  counter read BEFORE increment, so with warmup_linear the very first update
+  has lr == 0 (:160-170 with state['step'] starting at 0);
+- schedules: warmup_linear (triangular: x/w up to w, then (x-1)/(w-1) down to
+  0), warmup_constant, warmup_cosine (:27-43);
+- gradient clipping happens OUTSIDE at global-norm 5.0 (``agqaHGQA.py:391``).
+
+``bert_adam`` reproduces all of that; ``make_optimizer`` composes the
+external clip and optional parameter freezing (STAR freezes the backbone,
+``star.py:87-88``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def warmup_linear(x: jnp.ndarray, warmup: float) -> jnp.ndarray:
+    return jnp.where(
+        x < warmup,
+        x / warmup,
+        jnp.maximum((x - 1.0) / (warmup - 1.0), 0.0),
+    )
+
+
+def warmup_constant(x: jnp.ndarray, warmup: float) -> jnp.ndarray:
+    return jnp.where(x < warmup, x / warmup, 1.0)
+
+
+def warmup_cosine(x: jnp.ndarray, warmup: float) -> jnp.ndarray:
+    return jnp.where(
+        x < warmup, x / warmup, 0.5 * (1.0 + jnp.cos(math.pi * x))
+    )
+
+
+SCHEDULES = {
+    "warmup_linear": warmup_linear,
+    "warmup_constant": warmup_constant,
+    "warmup_cosine": warmup_cosine,
+}
+
+
+class BertAdamState(NamedTuple):
+    step: jnp.ndarray   # int32 scalar, pre-increment semantics
+    m: optax.Updates
+    v: optax.Updates
+
+
+def bert_adam(
+    lr: float,
+    t_total: int = -1,
+    warmup: float = 0.1,
+    schedule: str = "warmup_linear",
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-6,
+    weight_decay: float = 0.01,
+) -> optax.GradientTransformation:
+    sched_fn: Callable = SCHEDULES[schedule]
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return BertAdamState(step=jnp.zeros((), jnp.int32), m=zeros,
+                             v=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        assert params is not None, "bert_adam needs params for weight decay"
+        m = jax.tree_util.tree_map(
+            lambda mm, g: b1 * mm + (1.0 - b1) * g, state.m, grads)
+        v = jax.tree_util.tree_map(
+            lambda vv, g: b2 * vv + (1.0 - b2) * g * g, state.v, grads)
+        if t_total > 0:
+            progress = state.step.astype(jnp.float32) / float(t_total)
+            lr_t = lr * sched_fn(progress, warmup)
+        else:
+            lr_t = jnp.asarray(lr, jnp.float32)
+        updates = jax.tree_util.tree_map(
+            lambda mm, vv, p: -lr_t * (
+                mm / (jnp.sqrt(vv) + eps) + weight_decay * p
+            ),
+            m, v, params,
+        )
+        return updates, BertAdamState(step=state.step + 1, m=m, v=v)
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(
+    lr: float,
+    t_total: int,
+    warmup: float = 0.1,
+    schedule: str = "warmup_linear",
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-6,
+    weight_decay: float = 0.01,
+    grad_clip: float = 5.0,
+    trainable_mask: Optional[optax.Params] = None,
+) -> optax.GradientTransformation:
+    """clip-by-global-norm 5.0 -> BertAdam, optionally masked to trainable
+    params (frozen subtrees get zero updates)."""
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        bert_adam(lr, t_total, warmup, schedule, b1, b2, eps, weight_decay),
+    )
+    if trainable_mask is not None:
+        # NOTE: optax.masked would pass masked-out gradients through
+        # UNCHANGED (they'd be applied raw) — frozen subtrees need their
+        # updates zeroed explicitly.
+        labels = jax.tree_util.tree_map(
+            lambda t: "train" if t else "freeze", trainable_mask
+        )
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            param_labels=labels,
+        )
+    return tx

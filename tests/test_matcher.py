@@ -1,0 +1,109 @@
+"""Matcher validated bit-exact (total cost) against scipy, including the
+rectangular-with-constant-padding construction and the reference's cost form."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from shgvqa_tpu.ops.matcher import (
+    assign_padded,
+    hungarian_square,
+    match_targets_global,
+    match_targets_per_frame,
+)
+
+
+@pytest.mark.parametrize("n", [1, 2, 4, 8, 16])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_hungarian_square_matches_scipy(n, seed):
+    rng = np.random.RandomState(seed * 100 + n)
+    cost = rng.randn(n, n).astype(np.float32)
+    ours = np.asarray(hungarian_square(jnp.asarray(cost)))
+    ri, ci = linear_sum_assignment(cost)
+    assert sorted(ours.tolist()) == list(range(n))  # permutation
+    ours_cost = cost[np.arange(n), ours].sum()
+    scipy_cost = cost[ri, ci].sum()
+    np.testing.assert_allclose(ours_cost, scipy_cost, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_rows,k", [(8, 3), (8, 8), (8, 1), (4, 2)])
+def test_assign_padded_matches_scipy_rectangular(n_rows, k):
+    rng = np.random.RandomState(n_rows * 10 + k)
+    # reference-style costs: -softmax probs, in [-1, 0]
+    cost = -rng.rand(n_rows, n_rows).astype(np.float32)
+    row_to_col, matched = assign_padded(jnp.asarray(cost), jnp.int32(k))
+    row_to_col, matched = np.asarray(row_to_col), np.asarray(matched)
+    # scipy on the rectangular problem (rows x k)
+    ri, ci = linear_sum_assignment(cost[:, :k])
+    ours_cost = cost[matched, row_to_col[matched]].sum()
+    scipy_cost = cost[ri, ci].sum()
+    np.testing.assert_allclose(ours_cost, scipy_cost, rtol=1e-5, atol=1e-5)
+    assert matched.sum() == k
+
+
+def _reference_match_per_frame(logits, labels, lengths):
+    """Emulate matcher.py per-frame mode + agqaHGQA.get_target_classes with
+    scipy, for parity testing."""
+    b, s, r, c = logits.shape
+    prob = np.exp(logits - logits.max(-1, keepdims=True))
+    prob = prob / prob.sum(-1, keepdims=True)
+    target = np.zeros((b, s, r), np.int64)
+    matched_mask = np.zeros((b, s, r), bool)
+    for bi in range(b):
+        for si in range(s):
+            k = int(lengths[bi, si])
+            if k == 0:
+                continue
+            tgt = labels[bi, si, :k]
+            cost = -prob[bi, si][:, tgt]  # (r, k)
+            ri, ci = linear_sum_assignment(cost)
+            target[bi, si, ri] = tgt[ci]
+            matched_mask[bi, si, ri] = True
+    return target, matched_mask
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_match_targets_per_frame_vs_scipy(seed):
+    rng = np.random.RandomState(seed)
+    b, s, r, c, k = 2, 4, 3, 12, 3
+    logits = rng.randn(b, s, r, c).astype(np.float32)
+    labels = rng.randint(1, c, (b, s, k)).astype(np.int32)
+    lengths = rng.randint(0, k + 1, (b, s)).astype(np.int32)
+    ours_t, ours_m = match_targets_per_frame(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(lengths)
+    )
+    ref_t, ref_m = _reference_match_per_frame(logits, labels, lengths)
+    np.testing.assert_array_equal(np.asarray(ours_m), ref_m)
+    np.testing.assert_array_equal(np.asarray(ours_t), ref_t)
+
+
+def test_match_targets_global_vs_scipy():
+    rng = np.random.RandomState(7)
+    b, q, c, n = 2, 8, 10, 8
+    logits = rng.randn(b, q, c).astype(np.float32)
+    labels = rng.randint(1, c, (b, n)).astype(np.int32)
+    lengths = np.array([5, 8], np.int32)
+    ours_t, ours_m = match_targets_global(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(lengths)
+    )
+    prob = np.exp(logits - logits.max(-1, keepdims=True))
+    prob = prob / prob.sum(-1, keepdims=True)
+    for bi in range(b):
+        k = int(lengths[bi])
+        tgt = labels[bi, :k]
+        cost = -prob[bi][:, tgt]
+        ri, ci = linear_sum_assignment(cost)
+        exp_t = np.zeros((q,), np.int64)
+        exp_t[ri] = tgt[ci]
+        np.testing.assert_array_equal(np.asarray(ours_t[bi]), exp_t)
+        assert np.asarray(ours_m[bi]).sum() == k
+
+
+def test_zero_targets_all_background():
+    logits = jnp.asarray(np.random.RandomState(0).randn(1, 2, 3, 5), jnp.float32)
+    labels = jnp.zeros((1, 2, 3), jnp.int32)
+    lengths = jnp.zeros((1, 2), jnp.int32)
+    t, m = match_targets_per_frame(logits, labels, lengths)
+    assert np.asarray(t).sum() == 0
+    assert not np.asarray(m).any()

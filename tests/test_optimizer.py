@@ -1,0 +1,106 @@
+"""BertAdam parity vs a spec-derived numpy implementation of the reference
+update rule (optimization.py:116-178):
+    m = b1*m + (1-b1)*g;  v = b2*v + (1-b2)*g^2
+    update = m/(sqrt(v)+eps) + wd*p
+    p -= lr*sched(step/t_total)*update   (step read BEFORE increment)
+with NO bias correction."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from shgvqa_tpu.train.optimizer import (
+    bert_adam,
+    make_optimizer,
+    warmup_constant,
+    warmup_linear,
+)
+
+
+def _numpy_bert_adam(params, grads_seq, lr, t_total, warmup, wd,
+                     b1=0.9, b2=0.999, eps=1e-6):
+    p = params.copy()
+    m = np.zeros_like(p)
+    v = np.zeros_like(p)
+    step = 0
+    for g in grads_seq:
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        upd = m / (np.sqrt(v) + eps) + wd * p
+        x = step / t_total
+        sched = x / warmup if x < warmup else max((x - 1) / (warmup - 1), 0)
+        p = p - lr * sched * upd
+        step += 1
+    return p
+
+
+def test_bert_adam_matches_reference_update_rule():
+    rng = np.random.RandomState(0)
+    p0 = rng.randn(5).astype(np.float32)
+    grads = [rng.randn(5).astype(np.float32) for _ in range(7)]
+    lr, t_total, warmup, wd = 0.1, 10, 0.3, 0.01
+
+    tx = bert_adam(lr, t_total, warmup, weight_decay=wd)
+    params = {"w": jnp.asarray(p0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    expected = _numpy_bert_adam(p0.astype(np.float64), grads, lr, t_total,
+                                warmup, wd)
+    np.testing.assert_allclose(np.asarray(params["w"]), expected,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_first_step_is_noop_with_warmup_linear():
+    """sched(0) == 0 -> the very first update leaves params unchanged
+    (reference quirk: state['step'] read before increment)."""
+    tx = bert_adam(1.0, t_total=100, warmup=0.1)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    updates, state = tx.update({"w": jnp.ones((3,))}, state, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), 0.0)
+    # second step moves
+    updates2, _ = tx.update({"w": jnp.ones((3,))}, state, params)
+    assert np.abs(np.asarray(updates2["w"])).max() > 0
+
+
+def test_schedule_shapes():
+    xs = jnp.asarray([0.0, 0.05, 0.1, 0.5, 1.0, 1.5])
+    lin = np.asarray(warmup_linear(xs, 0.1))
+    np.testing.assert_allclose(lin, [0.0, 0.5, 1.0, 5 / 9, 0.0, 0.0],
+                               rtol=1e-6)
+    const = np.asarray(warmup_constant(xs, 0.1))
+    np.testing.assert_allclose(const, [0.0, 0.5, 1.0, 1.0, 1.0, 1.0])
+
+
+def test_global_norm_clip_composes():
+    """The clip stage must feed CLIPPED gradients into BertAdam: with a raw
+    gradient of global norm 200 clipped to 1, the accumulated second moment
+    reflects per-element 0.5 (=100/200), not 100 (Adam's update itself is
+    scale-invariant, so inspect the state, not the update)."""
+    tx = make_optimizer(lr=1.0, t_total=10, warmup=0.1, grad_clip=1.0)
+    params = {"w": jnp.zeros((4,))}
+    state = tx.init(params)
+    big = {"w": jnp.full((4,), 100.0)}
+    _, state = tx.update(big, state, params)
+    adam_state = state[1]  # (clip_state, BertAdamState)
+    v = np.asarray(adam_state.v["w"])
+    expected_v = 0.001 * 0.5 ** 2  # (1-b2) * (100/200)^2 per element
+    np.testing.assert_allclose(v, expected_v, rtol=1e-4)
+
+
+def test_trainable_mask_freezes_subtree():
+    params = {"backbone": jnp.ones((2,)), "head": jnp.ones((2,))}
+    mask = {"backbone": False, "head": True}
+    tx = make_optimizer(lr=0.5, t_total=4, warmup=0.25, trainable_mask=mask)
+    state = tx.init(params)
+    g = {"backbone": jnp.ones((2,)), "head": jnp.ones((2,))}
+    for _ in range(3):
+        updates, state = tx.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["backbone"]), 1.0)
+    assert np.abs(np.asarray(params["head"]) - 1.0).max() > 0

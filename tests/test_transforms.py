@@ -1,0 +1,93 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shgvqa_tpu.data.transforms import (
+    NORM_STATS,
+    op_autocontrast,
+    op_brightness,
+    op_equalize,
+    op_rotate,
+    op_solarize,
+    op_translate_x,
+    preprocess_and_augment,
+    preprocess_clip,
+    rand_augment,
+    uniform_temporal_subsample,
+)
+
+
+def test_preprocess_clip_shapes_and_stats():
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, (9, 48, 64, 3), np.uint8)
+    out = np.asarray(preprocess_clip(jnp.asarray(frames), 4, 32))
+    assert out.shape == (4, 32, 32, 3)
+    mean, std = NORM_STATS["slow_r50"]
+    # uniform noise in [0,1): post-normalize mean ~ (0.5-0.45)/0.225
+    assert abs(out.mean() - (0.5 - mean[0]) / std[0]) < 0.05
+
+
+def test_uniform_temporal_subsample_matches_featurize():
+    from shgvqa_tpu.data.featurize import uniform_subsample_indices
+
+    frames = jnp.arange(9 * 2).reshape(9, 2).astype(jnp.float32)
+    out = np.asarray(uniform_temporal_subsample(frames, 4))
+    idx = uniform_subsample_indices(9, 4)
+    np.testing.assert_array_equal(out, np.asarray(frames)[idx])
+
+
+def test_color_ops_bounded():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 16, 16, 3), jnp.float32)
+    for op, v in [
+        (op_brightness, 0.5), (op_brightness, -0.5),
+        (op_solarize, 0.3), (op_autocontrast, 0.0), (op_equalize, 0.0),
+    ]:
+        y = np.asarray(op(x, jnp.asarray(v)))
+        assert y.shape == x.shape
+        assert y.min() >= -1e-6 and y.max() <= 1 + 1e-6
+
+
+def test_autocontrast_stretches_range():
+    x = jnp.full((1, 8, 8, 3), 0.5).at[0, 0, 0, :].set(0.4).at[0, 1, 1, :].set(0.6)
+    y = np.asarray(op_autocontrast(x, 0.0))
+    assert y.min() == pytest.approx(0.0, abs=1e-5)
+    assert y.max() == pytest.approx(1.0, abs=1e-5)
+
+
+def test_rotate_identity_at_zero():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(2, 12, 12, 3), jnp.float32)
+    y = np.asarray(op_rotate(x, jnp.asarray(0.0)))
+    np.testing.assert_allclose(y, np.asarray(x), atol=1e-5)
+
+
+def test_translate_shifts_content():
+    x = jnp.zeros((1, 8, 8, 1)).at[0, :, 2, 0].set(1.0)
+    # translate right by 2/8 of width -> column 4 (inverse map: src = x - px
+    # ... verify mass moved, border zero-filled)
+    y = np.asarray(op_translate_x(x, jnp.asarray(-0.25)))
+    assert y[0, :, 4, 0].sum() == pytest.approx(8.0, abs=1e-4)
+    assert np.asarray(x)[0].sum() == pytest.approx(y[0].sum(), abs=1e-3)
+
+
+def test_rand_augment_deterministic_given_key():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(3, 16, 16, 3), jnp.float32)
+    k = jax.random.PRNGKey(42)
+    y1 = np.asarray(rand_augment(x, k))
+    y2 = np.asarray(rand_augment(x, k))
+    np.testing.assert_array_equal(y1, y2)
+    y3 = np.asarray(rand_augment(x, jax.random.PRNGKey(43)))
+    # overwhelmingly likely to differ
+    assert not np.array_equal(y1, y3)
+
+
+def test_preprocess_and_augment_full():
+    rng = np.random.RandomState(4)
+    frames = rng.randint(0, 256, (10, 40, 40, 3), np.uint8)
+    out = np.asarray(preprocess_and_augment(
+        jnp.asarray(frames), jax.random.PRNGKey(0), 4, 32))
+    assert out.shape == (4, 32, 32, 3)
+    assert np.isfinite(out).all()
