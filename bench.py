@@ -35,13 +35,11 @@ def main() -> None:
     batch = _example_batch(cfg, batch_size=batch_size)
     rng = jax.random.PRNGKey(0)
     frames = jnp.asarray(batch.pop("frames"))
-    bb_params = backbone.init(rng, frames[:1])
-    feats = backbone.apply(bb_params, frames[:1])
-    params = model.init(
-        rng,
-        dict(batch_slice(batch, 1), visual_feats=feats),
-        deterministic=True,
-    )
+    bb_params = jax.jit(backbone.init)(rng, frames[:1])
+    feats = jax.jit(backbone.apply)(bb_params, frames[:1])
+    params = jax.jit(
+        lambda r, b: model.init(r, b, deterministic=True)
+    )(rng, dict(batch_slice(batch, 1), visual_feats=feats))
 
     @jax.jit
     def forward(params, bb_params, frames, batch):
@@ -50,15 +48,21 @@ def main() -> None:
             params, dict(batch, visual_feats=feats), deterministic=True)
         return jnp.argmax(out["hg_logit"], axis=-1)
 
-    # warmup / compile
-    out = forward(params, bb_params, frames, batch)
-    out.block_until_ready()
+    # two input buffers (defeats any result caching); scalar host fetch per
+    # iteration forces real completion — block_until_ready alone has proven
+    # unreliable through the remote-TPU relay
+    frames2 = jnp.asarray(
+        _example_batch(cfg, batch_size=batch_size, seed=1)["frames"])
+    inputs = [frames, frames2]
 
-    iters = 20
+    # warmup / compile
+    _ = int(forward(params, bb_params, frames, batch)[0])
+
+    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(params, bb_params, frames, batch)
-    out.block_until_ready()
+    for i in range(iters):
+        out = forward(params, bb_params, inputs[i % 2], batch)
+        _ = int(out[0])
     dt = time.perf_counter() - t0
 
     clips_per_sec = batch_size * iters / dt

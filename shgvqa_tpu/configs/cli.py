@@ -163,6 +163,11 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
     ds = dataset or ns.dataset or "agqa"
 
     enc = cfg.encoder.__class__(
+        no_caps=ns.no_caps,
+        num_prim_caps=ns.NUM_PRIM_CAPS,
+        num_vis_caps=ns.NUM_VIS_CAPS,
+        pose_dim=ns.POSE_DIM,
+        caps_skip_connection=ns.skip_connection,
         l_layers=ns.llayers,
         x_layers=ns.xlayers,
         r_layers=ns.rlayers,

@@ -51,6 +51,14 @@ class EncoderConfig:
     tie_x_layers: bool = True
 
     # visual tokenizer (VisualFeatEncoder, modeling_capsbert.py:966-1073)
+    # no_caps=True is every published recipe (--noCaps); False switches to the
+    # EM-routing capsule tokenizer (models/capsules.py)
+    no_caps: bool = True
+    num_prim_caps: int = 32       # --NUM_PRIM_CAPS
+    num_vis_caps: int = 32        # --NUM_VIS_CAPS
+    pose_dim: int = 4             # --POSE_DIM
+    caps_mask_features: bool = False   # language-conditioned capsule masking
+    caps_skip_connection: bool = False # --skipConnection
     visual_feat_dim: int = 2048
     visual_t: int = 8          # temporal tokens after conv compression 16 -> 8
     visual_hw: int = 7         # spatial tokens per side

@@ -49,6 +49,7 @@ class TriStreamEncoder(nn.Module):
 
     cfg: EncoderConfig
     compute_dtype: str = "float32"
+    remat: bool = False
 
     def setup(self):
         c = self.cfg
@@ -61,12 +62,44 @@ class TriStreamEncoder(nn.Module):
             hidden_dropout=c.hidden_dropout,
             dtype=dt,
         )
-        self.visual_tokenizer = VisualTokenizer(
-            hidden_size=c.hidden_size, dropout=c.hidden_dropout, dtype=dt
+        # rematerialize encoder blocks under grad to trade FLOPs for HBM
+        # (jax.checkpoint; useful at batch 32 with 393-token streams)
+        layer_cls = (
+            nn.remat(BertLayer, static_argnums=(3, 4)) if self.remat
+            else BertLayer
         )
-        self.l_layers = [BertLayer(**kw, name=f"l_{i}")
+        if c.no_caps:
+            self.visual_tokenizer = VisualTokenizer(
+                hidden_size=c.hidden_size, dropout=c.hidden_dropout, dtype=dt
+            )
+        else:
+            # capsule path (--noCaps off): EM-routing tokenizer producing
+            # caps_dim tokens, projected to hidden_size for the BERT stack
+            from shgvqa_tpu.models.capsules import (
+                CapsuleVisualTokenizer,
+                LanguageCapsuleMask,
+            )
+            from shgvqa_tpu.models.layers import Dense as _Dense
+
+            self.caps_tokenizer = CapsuleVisualTokenizer(
+                hidden_size=c.hidden_size,
+                num_prim_caps=c.num_prim_caps,
+                num_vis_caps=c.num_vis_caps,
+                pose_dim=c.pose_dim,
+                dropout=c.hidden_dropout,
+                dtype=dt,
+            )
+            self.caps_proj = _Dense(c.hidden_size, dtype=dt)
+            if c.caps_mask_features:
+                self.caps_mask = LanguageCapsuleMask(
+                    num_vis_caps=c.num_vis_caps,
+                    pose_dim=c.pose_dim,
+                    skip_connection=c.caps_skip_connection,
+                    dtype=dt,
+                )
+        self.l_layers = [layer_cls(**kw, name=f"l_{i}")
                          for i in range(c.l_layers)]
-        self.r_layers = [BertLayer(**kw, name=f"r_{i}")
+        self.r_layers = [layer_cls(**kw, name=f"r_{i}")
                          for i in range(c.r_layers)]
         layer_cls = CROSS_LAYER_TYPES[c.cross_attn_type]
         if c.tie_x_layers:
@@ -82,24 +115,43 @@ class TriStreamEncoder(nn.Module):
         visual_feats: jnp.ndarray,             # (B, T, H, W, C) backbone feats
         visn_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Returns (lang_out, visn_out, lang_snapshot, visn_snapshot)."""
+        output_attentions: bool = False,
+    ):
+        """Returns (lang_out, visn_out, lang_snapshot, visn_snapshot[,
+        attentions]) — attentions is a dict of per-stack lists when
+        ``output_attentions`` (the reference's output_all_attention_masks,
+        modeling_capsbert.py:1254-1302)."""
         c = self.cfg
-        visn = self.visual_tokenizer(visual_feats, deterministic)
+        if c.no_caps:
+            visn = self.visual_tokenizer(visual_feats, deterministic)
+        else:
+            caps = self.caps_tokenizer(visual_feats, deterministic)
+            if c.caps_mask_features:
+                caps = self.caps_mask(caps, lang_emb[:, 0])
+            visn = self.caps_proj(caps)
 
+        attn = {"lang": [], "visn": [], "cross": []}
         lang = lang_emb
         for layer in self.l_layers:
-            lang, _ = layer(lang, lang_mask, deterministic)
+            # return_probs passed explicitly: nn.remat static_argnums index
+            # both trailing booleans
+            lang, p = layer(lang, lang_mask, deterministic, output_attentions)
+            attn["lang"].append(p)
         lang_snapshot = lang
 
         for layer in self.r_layers:
-            visn, _ = layer(visn, visn_mask, deterministic)
+            visn, p = layer(visn, visn_mask, deterministic, output_attentions)
+            attn["visn"].append(p)
         visn_snapshot = visn
 
         x_layers = self.x_layers * c.x_layers if c.tie_x_layers else self.x_layers
         for step, layer in enumerate(x_layers):
-            lang, visn, _ = layer(lang, lang_mask, visn, visn_mask,
-                                  step=step, deterministic=deterministic)
+            lang, visn, p = layer(lang, lang_mask, visn, visn_mask,
+                                  step=step, deterministic=deterministic,
+                                  return_probs=output_attentions)
+            attn["cross"].append(p)
+        if output_attentions:
+            return lang, visn, lang_snapshot, visn_snapshot, attn
         return lang, visn, lang_snapshot, visn_snapshot
 
 
@@ -155,6 +207,7 @@ class LXRTModel(nn.Module):
     cfg: EncoderConfig
     compute_dtype: str = "float32"
     deaf: bool = False
+    remat: bool = False
 
     def setup(self):
         c = self.cfg
@@ -167,14 +220,15 @@ class LXRTModel(nn.Module):
             dropout=c.hidden_dropout,
             dtype=dt,
         )
-        self.encoder = TriStreamEncoder(c, self.compute_dtype)
+        self.encoder = TriStreamEncoder(c, self.compute_dtype, self.remat)
         if c.cross_attn_type in ("cross",):
             self.pooler = Pooler2(c.hidden_size, dtype=dt)
         else:
             self.pooler = Pooler(c.hidden_size, dtype=dt)
 
     def __call__(self, input_ids, input_mask, segment_ids, visual_feats,
-                 visual_mask=None, deterministic=True):
+                 visual_mask=None, deterministic=True,
+                 output_attentions=False):
         """visual_feats: (B, T, H, W, C); visual_mask: {0,1} (B, Lv) over
         tokenized visual sequence (the reference's dummy ``boxes`` of ones,
         agqa_data.py:216-217) or None.
@@ -188,9 +242,15 @@ class LXRTModel(nn.Module):
         visn_ext = extend_mask(visual_mask, dt) if visual_mask is not None else None
 
         emb = self.embeddings(input_ids, segment_ids, deterministic)
-        lang, visn, lang_snap, visn_snap = self.encoder(
-            emb, lang_ext, visual_feats, visn_ext, deterministic
-        )
+        attn = None
+        if output_attentions:
+            lang, visn, lang_snap, visn_snap, attn = self.encoder(
+                emb, lang_ext, visual_feats, visn_ext, deterministic, True
+            )
+        else:
+            lang, visn, lang_snap, visn_snap = self.encoder(
+                emb, lang_ext, visual_feats, visn_ext, deterministic
+            )
         # pooler(visn_feats, lang_feats) order per NoCapsModel.forward:1855.
         # With 'self'/'cross_self' the joint stream is `visn`; Pooler takes
         # its first token, matching the reference.
@@ -198,4 +258,6 @@ class LXRTModel(nn.Module):
             pooled = self.pooler(visn, lang)
         else:
             pooled = self.pooler(visn)
+        if output_attentions:
+            return pooled, lang, visn, lang_snap, visn_snap, lang_ext, attn
         return pooled, lang, visn, lang_snap, visn_snap, lang_ext

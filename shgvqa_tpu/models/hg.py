@@ -81,7 +81,8 @@ class HGQCrossEncoder(nn.Module):
         hg_feats: jnp.ndarray,                   # (B, S*(A+R), D)
         hg_mask: Optional[jnp.ndarray] = None,   # {0,1} (B, S*(A+R)) or None
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        output_attentions: bool = False,
+    ):
         c = self.cfg
         dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
             self.compute_dtype]
@@ -126,13 +127,18 @@ class HGQCrossEncoder(nn.Module):
             name="x_tied",
         )
         lang, hg_stream = lang_feats, hg
+        attn = []
         for step in range(c.x_layers):
-            lang, hg_stream, _ = layer(lang, lang_ext_mask, hg_stream, hg_ext,
-                                       step=step, deterministic=deterministic)
+            lang, hg_stream, p = layer(lang, lang_ext_mask, hg_stream, hg_ext,
+                                       step=step, deterministic=deterministic,
+                                       return_probs=output_attentions)
+            attn.append(p)
 
         if c.cross_attn_type == "cross":
             pooled = Pooler2(c.hidden_size, dtype=dt, name="pooler")(
                 hg_stream, lang)
         else:
             pooled = Pooler(c.hidden_size, dtype=dt, name="pooler")(hg_stream)
+        if output_attentions:
+            return pooled, attn
         return pooled

@@ -62,7 +62,8 @@ class ShgVqaModel(nn.Module):
         if task == "q":
             self.bert_encoder = LanguageEncoder(enc, dt)
         else:
-            self.lxrt = LXRTModel(enc, dt, deaf=(task == "vhga"))
+            self.lxrt = LXRTModel(enc, dt, deaf=(task == "vhga"),
+                                  remat=cfg.remat)
 
         if task in ("hgqa", "vhga", "hgvqa"):
             s = cfg.data.num_situations
@@ -113,7 +114,8 @@ class ShgVqaModel(nn.Module):
         self.logit_fc = MLPHead(cfg.num_answers, dtype=_dt(dt))
 
     def __call__(self, batch: Dict[str, jnp.ndarray],
-                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+                 deterministic: bool = True,
+                 output_attentions: bool = False) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         task = cfg.task
 
@@ -124,10 +126,21 @@ class ShgVqaModel(nn.Module):
             )
             return {"logit": self.logit_fc(pooled)}
 
-        pooled, lang, visn, lang_snap, visn_snap, lang_ext = self.lxrt(
-            batch["input_ids"], batch["input_mask"], batch.get("segment_ids"),
-            batch["visual_feats"], batch.get("visual_mask"), deterministic,
-        )
+        attentions = {}
+        if output_attentions:
+            (pooled, lang, visn, lang_snap, visn_snap, lang_ext,
+             enc_attn) = self.lxrt(
+                batch["input_ids"], batch["input_mask"],
+                batch.get("segment_ids"), batch["visual_feats"],
+                batch.get("visual_mask"), deterministic, True,
+            )
+            attentions["encoder"] = enc_attn
+        else:
+            pooled, lang, visn, lang_snap, visn_snap, lang_ext = self.lxrt(
+                batch["input_ids"], batch["input_mask"],
+                batch.get("segment_ids"), batch["visual_feats"],
+                batch.get("visual_mask"), deterministic,
+            )
         logit = self.logit_fc(pooled)
         if task == "vqa":
             return {"logit": logit}
@@ -174,8 +187,13 @@ class ShgVqaModel(nn.Module):
         ).reshape(b, -1, d)
 
         hg_mask = batch.get("hg_mask") if cfg.use_hg_mask else None
-        x_hg = self.hgq_encoder(lang_feats, lang_ext, hg_in, hg_mask,
-                                deterministic)
+        if output_attentions:
+            x_hg, hgq_attn = self.hgq_encoder(lang_feats, lang_ext, hg_in,
+                                              hg_mask, deterministic, True)
+            attentions["hgq"] = hgq_attn
+        else:
+            x_hg = self.hgq_encoder(lang_feats, lang_ext, hg_in, hg_mask,
+                                    deterministic)
         if task == "hgvqa":
             hg_logit = self.logit_fc2(
                 jnp.concatenate([pooled, x_hg], axis=-1))
@@ -186,6 +204,8 @@ class ShgVqaModel(nn.Module):
         if rel_preds is not None:
             out["rel_preds"] = rel_preds
             out["act_preds"] = act_preds
+        if output_attentions:
+            out["attentions"] = attentions
         return out
 
 

@@ -56,11 +56,22 @@ class Trainer:
         self._eval_step = None
         self.mesh = mesh
         self.shardings = shardings
+        from shgvqa_tpu.kernels import attention as pallas_attn
+        from shgvqa_tpu.train.metrics import MetricWriter, Profiler
+
+        pallas_attn.enable(cfg.use_pallas_attention)
+        self.metrics = MetricWriter(cfg.output)
+        self.profiler = Profiler(cfg.output,
+                                 enabled=getattr(cfg, "profile", False))
 
     # -- init ------------------------------------------------------------
     def init_params(self, example_batch: Dict[str, np.ndarray]) -> None:
         rng = jax.random.PRNGKey(self.cfg.seed)
-        self.params = self.model.init(rng, example_batch, deterministic=True)
+        # jit the init: op-by-op dispatch is pathologically slow on remote
+        # TPU backends (each op is a round-trip), and init is one trace
+        init_fn = jax.jit(
+            lambda r, b: self.model.init(r, b, deterministic=True))
+        self.params = init_fn(rng, example_batch)
         self.opt_state = self.tx.init(self.params)
 
     def _build_steps(self):
@@ -89,12 +100,14 @@ class Trainer:
         self,
         train_batches: Callable[[int], Iterable[Dict[str, np.ndarray]]],
         evaluate: Optional[Callable[["Trainer"], Tuple[float, float]]] = None,
-        log: Callable[[str], None] = lambda s: print(s, flush=True),
+        log: Optional[Callable[[str], None]] = None,
     ) -> Dict[str, Any]:
         """train_batches(epoch) yields batch dicts (jax-ready arrays plus a
         'ques_id' list popped before device transfer).  evaluate(self) ->
         (valid_score, hg_score)."""
         cfg = self.cfg
+        if log is None:
+            log = self.metrics.log   # stdout + {output}/log.log (star.py:385)
         if self._train_step is None:
             self._build_steps()
         rng = jax.random.PRNGKey(cfg.seed)
@@ -120,6 +133,8 @@ class Trainer:
                         m = {k: float(v) for k, v in metrics.items()}
                         parts = " ".join(f"{k}={v:0.4f}" for k, v in m.items())
                         log(f"Epoch {epoch} step {self.step}: {parts}")
+                        self.metrics.write(self.step, m, epoch=epoch)
+                    self.profiler.step(self.step)
                     self.step += 1
                     n_steps += 1
                 dt = time.time() - t0
