@@ -21,6 +21,10 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    from shgvqa_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from __graft_entry__ import _example_batch, _flagship_cfg

@@ -98,6 +98,10 @@ def run_driver(dataset: str, argv=None) -> dict:
     cfg, extras = parse_reference_flags_with_extras(argv, dataset=dataset)
     import jax
 
+    from shgvqa_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     print(f"shgvqa_tpu {dataset} driver: task={cfg.task} devices="
           f"{jax.device_count()}", flush=True)
 
@@ -166,6 +170,13 @@ def run_driver(dataset: str, argv=None) -> dict:
 
     def evaluate(tr) -> Tuple[float, float]:
         q2a, hg_q2a = tr.predict(prefetch(valid_batcher.epoch(0)))
+        if cfg.task in ("hgqa", "vhga", "hgvqa") and not cfg.gt_hg:
+            # Hungarian-matched rel/act class accuracy, logged like
+            # star.py:549-550 / agqaHGQA.py:550-559
+            hg_acc = tr.evaluate_hg_accuracy(valid_batcher.epoch(0))
+            tr.metrics.log(
+                f"valid rel class acc {hg_acc['rel_class_acc']:0.2f} "
+                f"act class acc {hg_acc['act_class_acc']:0.2f}")
         if cfg.data.dataset == "star":
             return evaluator.evaluate(q2a), evaluator.evaluate(hg_q2a)
         return (evaluator.evaluate_overall(q2a),

@@ -182,6 +182,49 @@ class Trainer:
                 hg_quesid2ans[qid] = int(hg[i])
         return quesid2ans, hg_quesid2ans
 
+    def evaluate_hg_accuracy(self, batches: Iterable[Dict[str, np.ndarray]]
+                             ) -> Dict[str, float]:
+        """Hungarian-matched rel/act top-1 accuracy over a split — the
+        reference logs this during predict (star.py:549-550,
+        agqaHGQA.py:550-559) as a probe of the HG decoder."""
+        import jax.numpy as jnp
+
+        from shgvqa_tpu.losses.set_prediction import (
+            empty_weight,
+            hungarian_set_loss,
+        )
+
+        cfg = self.cfg
+        model = self.model
+
+        @jax.jit
+        def hg_metrics(params, batch):
+            out = model.apply(params, batch, deterministic=True)
+            rel_w = empty_weight(cfg.num_rel_classes + 1, cfg.eos_coef)
+            act_w = empty_weight(cfg.num_act_classes + 1, cfg.eos_coef)
+            rel = hungarian_set_loss(
+                out["rel_preds"], batch["rel_labels"], batch["rel_lengths"],
+                rel_w, per_frame=cfg.loss_hg_per_frame,
+                num_situations=cfg.data.num_situations)
+            act = hungarian_set_loss(
+                out["act_preds"], batch["act_labels"], batch["act_lengths"],
+                act_w, per_frame=cfg.loss_hg_per_frame,
+                num_situations=cfg.data.num_situations)
+            return (100.0 - rel["class_error"], 100.0 - act["class_error"])
+
+        rel_accs, act_accs = [], []
+        for batch in batches:
+            batch = dict(batch)
+            batch.pop("ques_id", None)
+            batch.pop("n_valid", None)
+            r, a = hg_metrics(self.params, batch)
+            rel_accs.append(float(r))
+            act_accs.append(float(a))
+        return {
+            "rel_class_acc": float(np.mean(rel_accs)) if rel_accs else 0.0,
+            "act_class_acc": float(np.mean(act_accs)) if act_accs else 0.0,
+        }
+
     # -- state ------------------------------------------------------------
     def state_dict(self):
         return {
