@@ -31,49 +31,59 @@ def main() -> None:
     from shgvqa_tpu.models.backbone import SlowR50
     from shgvqa_tpu.models.shgvqa import ShgVqaModel
 
+    import os
+
     cfg = _flagship_cfg()
-    batch_size = 8
     backbone = SlowR50(dtype=jnp.bfloat16)
     model = ShgVqaModel(cfg)
-
-    batch = _example_batch(cfg, batch_size=batch_size)
     rng = jax.random.PRNGKey(0)
-    frames = jnp.asarray(batch.pop("frames"))
-    bb_params = jax.jit(backbone.init)(rng, frames[:1])
-    feats = jax.jit(backbone.apply)(bb_params, frames[:1])
+
+    batch_sizes = [int(x) for x in os.environ.get(
+        "SHGVQA_BENCH_BATCHES", "8,32").split(",")]
+    # params are batch-size independent: init once on a size-1 slice
+    setup = _example_batch(cfg, batch_size=1)
+    setup_frames = jnp.asarray(setup.pop("frames"))
+    bb_params = jax.jit(backbone.init)(rng, setup_frames)
+    feats = jax.jit(backbone.apply)(bb_params, setup_frames)
     params = jax.jit(
         lambda r, b: model.init(r, b, deterministic=True)
-    )(rng, dict(batch_slice(batch, 1), visual_feats=feats))
+    )(rng, dict(setup, visual_feats=feats))
 
-    @jax.jit
-    def forward(params, bb_params, frames, batch):
-        feats = backbone.apply(bb_params, frames)
-        out = model.apply(
-            params, dict(batch, visual_feats=feats), deterministic=True)
-        return jnp.argmax(out["hg_logit"], axis=-1)
+    best = (0.0, 0)
+    for batch_size in batch_sizes:
+        batch = _example_batch(cfg, batch_size=batch_size)
+        frames = jnp.asarray(batch.pop("frames"))
 
-    # two input buffers (defeats any result caching); scalar host fetch per
-    # iteration forces real completion — block_until_ready alone has proven
-    # unreliable through the remote-TPU relay
-    frames2 = jnp.asarray(
-        _example_batch(cfg, batch_size=batch_size, seed=1)["frames"])
-    inputs = [frames, frames2]
+        @jax.jit
+        def forward(params, bb_params, frames, batch):
+            feats = backbone.apply(bb_params, frames)
+            out = model.apply(
+                params, dict(batch, visual_feats=feats), deterministic=True)
+            return jnp.argmax(out["hg_logit"], axis=-1)
 
-    # warmup / compile
-    _ = int(forward(params, bb_params, frames, batch)[0])
+        # two input buffers (defeats any result caching); scalar host fetch
+        # per iteration forces real completion — block_until_ready alone has
+        # proven unreliable through the remote-TPU relay
+        frames2 = jnp.asarray(
+            _example_batch(cfg, batch_size=batch_size, seed=1)["frames"])
+        inputs = [frames, frames2]
 
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = forward(params, bb_params, inputs[i % 2], batch)
-        _ = int(out[0])
-    dt = time.perf_counter() - t0
+        _ = int(forward(params, bb_params, frames, batch)[0])  # compile
 
-    clips_per_sec = batch_size * iters / dt
+        iters = 10
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = forward(params, bb_params, inputs[i % 2], batch)
+            _ = int(out[0])
+        dt = time.perf_counter() - t0
+        cps = batch_size * iters / dt
+        if cps > best[0]:
+            best = (cps, batch_size)
+
     n_chips = max(1, jax.device_count())
-    value = clips_per_sec / n_chips
+    value = best[0] / n_chips
     print(json.dumps({
-        "metric": "clips/sec/chip (frames->answer, HGQA b8 bf16)",
+        "metric": f"clips/sec/chip (frames->answer, HGQA b{best[1]} bf16)",
         "value": round(value, 2),
         "unit": "clips/s/chip",
         "vs_baseline": 1.0,

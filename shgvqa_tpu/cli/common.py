@@ -9,6 +9,7 @@ task/dataset binding that accepts the reference's flags.
 from __future__ import annotations
 
 import os
+import zlib
 from typing import Optional, Tuple
 
 import numpy as np
@@ -47,12 +48,14 @@ def build_data(cfg: Config, extras: dict, split: str):
     n_syn = extras.get("synthetic_data") or 0
     if cfg.data.dataset == "star":
         if n_syn:
+            # NOTE: stable hash — builtin hash() is randomized per process
+            # (PYTHONHASHSEED) and silently breaks run-to-run reproducibility
             return STARData.synthetic(cfg, split, n=n_syn,
-                                      seed=hash(split) % 1000)
+                                      seed=zlib.crc32(split.encode()) % 1000)
         return STARData.from_files(cfg, split)
     if n_syn:
         return AGQAData.synthetic(cfg, split, n=n_syn,
-                                  seed=hash(split) % 1000)
+                                  seed=zlib.crc32(split.encode()) % 1000)
     return AGQAData.from_files(cfg, split)
 
 

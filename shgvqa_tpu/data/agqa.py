@@ -227,5 +227,7 @@ class SyntheticFrameLoader:
         self.image_size = image_size
 
     def __call__(self, vid: str) -> np.ndarray:
-        seed = abs(hash(vid)) % (2 ** 31)
+        import zlib
+
+        seed = zlib.crc32(vid.encode()) % (2 ** 31)  # stable across processes
         return synth.make_frames(self.clip_len, self.image_size, seed=seed)
