@@ -228,6 +228,25 @@ RAND_AUGMENT_OPS = (
 )
 
 
+def aug_mix(frames01: jnp.ndarray, rng: jax.Array, severity: int = 3,
+            width: int = 3, depth: int = 2, alpha: float = 1.0
+            ) -> jnp.ndarray:
+    """AugMix (Hendrycks et al.): ``width`` augmentation chains mixed with
+    Dirichlet(alpha) weights, then Beta(alpha, alpha)-blended with the clean
+    clip.  Chains use the RandAugment op set at ``severity``; depth fixed
+    (the paper samples 1-3; a fixed 2 keeps the trace static)."""
+    rng, r_w, r_m = jax.random.split(rng, 3)
+    ws = jax.random.dirichlet(r_w, jnp.full((width,), alpha))
+    m = jax.random.beta(r_m, alpha, alpha)
+    mixed = jnp.zeros_like(frames01)
+    for i in range(width):
+        rng, r_chain = jax.random.split(rng)
+        chain = rand_augment(frames01, r_chain, num_layers=depth,
+                             magnitude=severity, prob=1.0)
+        mixed = mixed + ws[i].astype(frames01.dtype) * chain
+    return (1.0 - m).astype(frames01.dtype) * frames01 +         m.astype(frames01.dtype) * mixed
+
+
 def rand_augment(frames01: jnp.ndarray, rng: jax.Array,
                  num_layers: int = 2, magnitude: int = 9,
                  prob: float = 0.5) -> jnp.ndarray:
@@ -271,6 +290,5 @@ def preprocess_and_augment(frames_uint8: jnp.ndarray, rng: jax.Array,
     if augment_type in ("rand_aug", "rand_aug_slowfast"):
         x = rand_augment(x, rng)
     elif augment_type == "aug_mix":
-        # AugMix: 3-chain mixture of the same op set; single-chain fallback
-        x = rand_augment(x, rng, num_layers=3, prob=1.0, magnitude=3)
+        x = aug_mix(x, rng)
     return normalize_clip(x, mean, std)

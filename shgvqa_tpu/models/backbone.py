@@ -147,18 +147,41 @@ class SlowR50(nn.Module):
         return h
 
 
-BACKBONES = {"slow_r50": SlowR50}
+def _make_resnext(dtype):
+    from shgvqa_tpu.models.backbones_extra import ResNeXt101
+
+    return ResNeXt101(dtype=dtype)
+
+
+def _make_slowfast_r50(dtype):
+    from shgvqa_tpu.models.backbones_extra import SlowFastR50
+
+    return SlowFastR50(dtype=dtype)
+
+
+def _make_slowfast_r101(dtype):
+    from shgvqa_tpu.models.backbones_extra import SlowFastR50
+
+    return SlowFastR50(dtype=dtype, depths=(3, 4, 23, 3))
+
+
+BACKBONES = {
+    "slow_r50": lambda dtype: SlowR50(dtype=dtype),
+    "resnext101": _make_resnext,
+    "slowfast_r50": _make_slowfast_r50,
+    "slowfast_r101": _make_slowfast_r101,
+}
 
 
 def make_backbone(name: str, dtype=jnp.float32) -> nn.Module:
-    """Backbone registry (video_encoder.py backbone_dict equivalent).
-    slowfast_r50/r101, resnext101, mvit_B, video_swin are inventory items of
-    the reference registry; slow_r50 is the backbone of every published
-    recipe.  Others raise NotImplementedError (like the reference's
-    video_swin, video_encoder.py:24)."""
+    """Backbone registry (video_encoder.py backbone_dict equivalent):
+    slow_r50 (every published recipe), resnext101 (per-frame 2D),
+    slowfast_r50/r101 (two-pathway).  video_swin raises NotImplementedError
+    exactly like the reference (video_encoder.py:24); mvit_B is not yet
+    implemented here."""
     if name not in BACKBONES:
         raise NotImplementedError(
             f"backbone '{name}' not implemented; available: "
             f"{sorted(BACKBONES)}"
         )
-    return BACKBONES[name](dtype=dtype)
+    return BACKBONES[name](dtype)

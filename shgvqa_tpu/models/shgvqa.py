@@ -232,6 +232,7 @@ class VideoShgVqaModel(nn.Module):
                  deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         from shgvqa_tpu.data.transforms import (
             NORM_STATS,
+            aug_mix,
             normalize_clip,
             rand_augment,
         )
@@ -246,10 +247,7 @@ class VideoShgVqaModel(nn.Module):
                 key = self.make_rng("augment")
                 keys = jax.random.split(key, frames.shape[0])
                 if aug == "aug_mix":
-                    frames = jax.vmap(
-                        lambda f, k: rand_augment(f, k, num_layers=3,
-                                                  prob=1.0, magnitude=3)
-                    )(frames, keys)
+                    frames = jax.vmap(aug_mix)(frames, keys)
                 else:
                     frames = jax.vmap(rand_augment)(frames, keys)
             mean, std = NORM_STATS.get(self.cfg.backbone,

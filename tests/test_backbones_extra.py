@@ -1,0 +1,33 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shgvqa_tpu.models.backbone import make_backbone
+from shgvqa_tpu.models.backbones_extra import ResNeXt101, SlowFastR50
+
+
+@pytest.mark.slow
+def test_resnext101_per_frame_geometry():
+    m = ResNeXt101(depths=(1, 1, 1, 1), groups=4, width_per_group=4)
+    x = jnp.zeros((1, 2, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (1, 2, 2, 2, 2048)
+
+
+@pytest.mark.slow
+def test_slowfast_r50_geometry():
+    m = SlowFastR50(depths=(1, 1, 1, 1))
+    x = jnp.zeros((1, 8, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    # slow temporal = 8/alpha = 2; spatial 64/32 = 2; channels 2048+256
+    assert out.shape == (1, 2, 2, 2, 2048 + 256)
+
+
+def test_registry_names():
+    for name in ("slow_r50", "resnext101", "slowfast_r50", "slowfast_r101"):
+        assert make_backbone(name) is not None
+    with pytest.raises(NotImplementedError):
+        make_backbone("video_swin")
