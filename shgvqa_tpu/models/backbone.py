@@ -165,20 +165,27 @@ def _make_slowfast_r101(dtype):
     return SlowFastR50(dtype=dtype, depths=(3, 4, 23, 3))
 
 
+def _make_mvit(dtype):
+    from shgvqa_tpu.models.mvit import MViTB
+
+    return MViTB(dtype=dtype)
+
+
 BACKBONES = {
     "slow_r50": lambda dtype: SlowR50(dtype=dtype),
     "resnext101": _make_resnext,
     "slowfast_r50": _make_slowfast_r50,
     "slowfast_r101": _make_slowfast_r101,
+    "mvit_B": _make_mvit,
 }
 
 
 def make_backbone(name: str, dtype=jnp.float32) -> nn.Module:
     """Backbone registry (video_encoder.py backbone_dict equivalent):
     slow_r50 (every published recipe), resnext101 (per-frame 2D),
-    slowfast_r50/r101 (two-pathway).  video_swin raises NotImplementedError
-    exactly like the reference (video_encoder.py:24); mvit_B is not yet
-    implemented here."""
+    slowfast_r50/r101 (two-pathway), mvit_B (multiscale ViT).  video_swin
+    raises NotImplementedError exactly like the reference
+    (video_encoder.py:24)."""
     if name not in BACKBONES:
         raise NotImplementedError(
             f"backbone '{name}' not implemented; available: "

@@ -26,8 +26,20 @@ def test_slowfast_r50_geometry():
     assert out.shape == (1, 2, 2, 2, 2048 + 256)
 
 
+def test_mvit_geometry():
+    from shgvqa_tpu.models.mvit import MViTB
+    import jax, jax.numpy as jnp
+
+    m = MViTB(embed_dim=8, depths=(1, 1, 1, 1), heads=(1, 1, 2, 2))
+    x = jnp.zeros((1, 8, 64, 64, 3))
+    p = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(p, x)
+    assert out.shape == (1, 4, 2, 2, 64)
+
+
 def test_registry_names():
-    for name in ("slow_r50", "resnext101", "slowfast_r50", "slowfast_r101"):
+    for name in ("slow_r50", "resnext101", "slowfast_r50", "slowfast_r101",
+                 "mvit_B"):
         assert make_backbone(name) is not None
     with pytest.raises(NotImplementedError):
         make_backbone("video_swin")
