@@ -80,7 +80,8 @@ class SelfCrossLayer(nn.Module):
                  deterministic=True, return_probs=False):
         if step == 0:
             joint = jnp.concatenate([visn, lang], axis=1)
-            joint_mask = _cat_masks(visn_mask, lang_mask)
+            joint_mask = _cat_masks(visn_mask, lang_mask,
+                                    visn.shape[1], lang.shape[1])
         else:
             # later layers receive the already-joint sequence as `visn`
             joint, joint_mask = visn, visn_mask
@@ -115,7 +116,8 @@ class CrossAndSelfLayer(nn.Module):
         lang_att, _ = shared(lang, visn, visn_mask, deterministic, False)
         visn_att, _ = shared(visn, lang, lang_mask, deterministic, False)
         joint = jnp.concatenate([visn_att, lang_att], axis=1)
-        joint_mask = _cat_masks(visn_mask, lang_mask)
+        joint_mask = _cat_masks(visn_mask, lang_mask,
+                                visn_att.shape[1], lang_att.shape[1])
         att, probs = SelfAttLayer(
             self.num_heads, self.head_dim, self.attn_dropout,
             self.hidden_dropout, dtype=self.dtype, name="self_att_layer",
@@ -127,13 +129,22 @@ class CrossAndSelfLayer(nn.Module):
 
 
 def _cat_masks(visn_mask: Optional[jnp.ndarray],
-               lang_mask: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
-    """Concatenate additive masks (B,1,1,L) along the key axis."""
+               lang_mask: Optional[jnp.ndarray],
+               visn_len: Optional[int] = None,
+               lang_len: Optional[int] = None) -> Optional[jnp.ndarray]:
+    """Concatenate additive masks (B,1,1,L) along the key axis.  A None side
+    means "attend to everything": it is materialized as zeros when the other
+    side is masked (lengths must then be provided)."""
     if visn_mask is None and lang_mask is None:
         return None
-    assert visn_mask is not None and lang_mask is not None, (
-        "joint attention needs both masks or neither"
-    )
+    if visn_mask is None:
+        assert visn_len is not None, "need visn_len to fill missing mask"
+        b = lang_mask.shape[0]
+        visn_mask = jnp.zeros((b, 1, 1, visn_len), lang_mask.dtype)
+    if lang_mask is None:
+        assert lang_len is not None, "need lang_len to fill missing mask"
+        b = visn_mask.shape[0]
+        lang_mask = jnp.zeros((b, 1, 1, lang_len), visn_mask.dtype)
     return jnp.concatenate([visn_mask, lang_mask], axis=-1)
 
 

@@ -150,6 +150,14 @@ class TriStreamEncoder(nn.Module):
                                   step=step, deterministic=deterministic,
                                   return_probs=output_attentions)
             attn["cross"].append(p)
+            if c.cross_attn_type == "self" and step == 0:
+                # the joint [visn; lang] stream carries the concatenated mask
+                # from the second layer on
+                from shgvqa_tpu.models.cross import _cat_masks
+
+                visn_mask = _cat_masks(
+                    visn_mask, lang_mask,
+                    visn.shape[1] - lang.shape[1], lang.shape[1])
         if output_attentions:
             return lang, visn, lang_snapshot, visn_snapshot, attn
         return lang, visn, lang_snapshot, visn_snapshot

@@ -133,6 +133,12 @@ class HGQCrossEncoder(nn.Module):
                                        step=step, deterministic=deterministic,
                                        return_probs=output_attentions)
             attn.append(p)
+            if c.cross_attn_type == "self" and step == 0:
+                from shgvqa_tpu.models.cross import _cat_masks
+
+                hg_ext = _cat_masks(
+                    hg_ext, lang_ext_mask,
+                    hg_stream.shape[1] - lang.shape[1], lang.shape[1])
 
         if c.cross_attn_type == "cross":
             pooled = Pooler2(c.hidden_size, dtype=dt, name="pooler")(
