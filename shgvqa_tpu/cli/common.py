@@ -128,7 +128,17 @@ def run_driver(dataset: str, argv=None) -> dict:
         trainer.init_params(example)
         if cfg.load:
             trainer.load(cfg.load)
+        # oracle sanity check: metric plumbing must score 1.0 on ground
+        # truth when labels exist (agqaHGQA.py:841-856, star.py:786-789)
+        try:
+            ev = data.evaluator()
+            oracle = ev.oracle_score(list(data.id2datum.keys()))
+            print(f"Oracle score: {oracle:0.4f}", flush=True)
+        except (KeyError, TypeError):
+            pass  # label-free test split
         q2a, hg_q2a = trainer.predict(prefetch(batcher.epoch(0)))
+        if cfg.output_attention:
+            _dump_attentions(cfg, trainer, batcher)
         results.update(report_test(cfg, data, q2a, hg_q2a))
         return results
 
@@ -226,6 +236,47 @@ def report_test(cfg: Config, data, q2a, hg_q2a) -> dict:
     for k, v in out.items():
         print(f"{k}: {v}", flush=True)
     return out
+
+
+def _dump_attentions(cfg: Config, trainer: Trainer, batcher: Batcher,
+                     max_batches: int = 4) -> None:
+    """--outputAttn: save attention maps for the first few eval batches
+    (the reference dumps attention during predict, star.py:540-547)."""
+    import jax
+
+    model = trainer.model
+    attn_fn = jax.jit(lambda p, b: model.apply(
+        p, b, deterministic=True, output_attentions=True))
+    out_dir = os.path.join(cfg.output, "attentions")
+    os.makedirs(out_dir, exist_ok=True)
+    for bi, batch in enumerate(batcher.epoch(0)):
+        if bi >= max_batches:
+            break
+        batch = dict(batch)
+        qids = batch.pop("ques_id")
+        batch.pop("n_valid", None)
+        out = attn_fn(trainer.params, batch)
+        attn = jax.device_get(out.get("attentions", {}))
+        flat = {}
+
+        def add(prefix, obj):
+            if obj is None:
+                return
+            if isinstance(obj, dict):
+                for k, v in obj.items():
+                    add(f"{prefix}.{k}", v)
+            elif isinstance(obj, list):
+                for i, v in enumerate(obj):
+                    add(f"{prefix}.{i}", v)
+            else:
+                flat[prefix] = np.asarray(obj)
+
+        add("attn", attn)
+        if flat:
+            np.savez_compressed(
+                os.path.join(out_dir, f"batch{bi:03d}.npz"),
+                ques_ids=np.asarray(qids), **flat)
+    print(f"attention dumps written to {out_dir}", flush=True)
 
 
 def _example_from(batcher: Batcher):

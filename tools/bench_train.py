@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark: full HGQA train step (backbone fwd+bwd +
+tri-stream encoder + HG decoders + Hungarian losses + BertAdam) at published
+AGQA dims, batch 32 (BASELINE.json config #4).
+
+Prints one JSON line {metric, value, unit}.  Run separately from bench.py
+(which measures frames->answer inference); the driver-recorded benchmark
+stays bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import optax
+
+    from shgvqa_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from __graft_entry__ import _example_batch, _flagship_cfg
+    from shgvqa_tpu.models.shgvqa import VideoShgVqaModel
+    from shgvqa_tpu.train.optimizer import make_optimizer
+    from shgvqa_tpu.train.step import compute_losses
+
+    batch_size = int(os.environ.get("SHGVQA_BENCH_TRAIN_BATCH", "16"))
+    cfg = _flagship_cfg().replace(freeze_backbone=False, remat=False)
+    model = VideoShgVqaModel(cfg)
+    tx = make_optimizer(lr=1e-5, t_total=1000, warmup=0.1)
+
+    batch = _example_batch(cfg, batch_size=batch_size, with_labels=True)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(lambda r, b: model.init(r, b, deterministic=True))(
+        rng, batch)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, b, k):
+        kd, ka = jax.random.split(k)
+        out = model.apply(p, b, deterministic=False,
+                          rngs={"dropout": kd, "augment": ka})
+        return compute_losses(cfg, out, b)
+
+    @jax.jit
+    def train_step(p, o, b, k):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, b, k)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, metrics["total_loss"]
+
+    t0 = time.perf_counter()
+    params, opt_state, loss = train_step(params, opt_state, batch, rng)
+    _ = float(loss)
+    compile_s = time.perf_counter() - t0
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss = train_step(
+            params, opt_state, batch, jax.random.fold_in(rng, i))
+        _ = float(loss)  # host fetch forces completion
+    dt = time.perf_counter() - t0
+
+    cps = batch_size * iters / dt / max(1, jax.device_count())
+    print(json.dumps({
+        "metric": f"train clips/sec/chip (HGQA b{batch_size} bf16)",
+        "value": round(cps, 2),
+        "unit": "clips/s/chip",
+        "compile_s": round(compile_s, 1),
+        "step_ms": round(1000 * dt / iters, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
