@@ -7,8 +7,8 @@ Registry parity with ``video_encoder.py``:
   feature_group_count), vmapped over time by folding T into the batch.
 - 'slowfast_r50' / 'slowfast_r101' (:52-64): two-pathway SlowFast with
   time-strided lateral connections (alpha=4, beta=1/8 per the paper);
-  features are the channel-concat of both pathways at slow temporal
-  resolution, so the conv tokenizer sees one (B, T/alpha, 7, 7, C) map.
+  features are the channel-concat of both pathways at FAST temporal
+  resolution (slow repeated alpha-fold), one (B, T, H/32, W/32, C) map.
 - 'mvit_B': attention-based video backbone; represented by a patch-embed +
   transformer trunk at MViT-B dims (simplified single-scale trunk — the
   reference's own mvit path was torch.hub-dependent and untested in its
@@ -108,8 +108,8 @@ class ResNeXt101(nn.Module):
 
 class SlowFastR50(nn.Module):
     """Two-pathway SlowFast-R50 (alpha=4, beta=1/8) with time-strided
-    lateral connections; returns channel-concat features at slow temporal
-    resolution: (B, T, H, W, 3) -> (B, T//alpha, H/32, W/32, 2048+256)."""
+    lateral connections; returns channel-concat features at FAST temporal
+    resolution: (B, T, H, W, 3) -> (B, T, H/32, W/32, 2048+256)."""
 
     dtype: Dtype = jnp.float32
     alpha: int = 4
@@ -164,6 +164,10 @@ class SlowFastR50(nn.Module):
                 dtype=dt, name=f"fast_res_{i + 2}",
             )(fast)
 
-        # fuse at slow temporal resolution
-        fast_sub = fast[:, :: self.alpha]
-        return jnp.concatenate([slow, fast_sub], axis=-1)
+        # fuse at FAST temporal resolution so the conv tokenizer's two
+        # valid kernel-5 temporal convs (T -> T-8) still apply: repeat each
+        # slow step alpha times (the reference's slowfast path keeps a
+        # 16-frame temporal axis into the tokenizer; star_data.py:221-224
+        # uses an 8x8 spatial mask for the 256-pixel slowfast input)
+        slow_up = jnp.repeat(slow, self.alpha, axis=1)[:, : fast.shape[1]]
+        return jnp.concatenate([slow_up, fast], axis=-1)

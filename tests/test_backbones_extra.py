@@ -22,8 +22,8 @@ def test_slowfast_r50_geometry():
     x = jnp.zeros((1, 8, 64, 64, 3))
     params = m.init(jax.random.PRNGKey(0), x)
     out = m.apply(params, x)
-    # slow temporal = 8/alpha = 2; spatial 64/32 = 2; channels 2048+256
-    assert out.shape == (1, 2, 2, 2, 2048 + 256)
+    # fast temporal rate preserved (T=8); spatial 64/32 = 2; 2048+256 ch
+    assert out.shape == (1, 8, 2, 2, 2048 + 256)
 
 
 def test_mvit_geometry():
