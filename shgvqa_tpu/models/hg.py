@@ -48,8 +48,8 @@ class HGEmbeddings(nn.Module):
                  deterministic: bool = True) -> jnp.ndarray:
         """token_type_ids: (B, Q) situation indices.  Returns (B, Q, D)."""
         b = token_type_ids.shape[0]
-        word = Embed(self.num_queries, self.hidden_size, dtype=self.dtype,
-                     name="word_embeddings")
+        word = Embed(self.num_queries, self.hidden_size, zero_init_pad=True,
+                     dtype=self.dtype, name="word_embeddings")
         if self.gt_hg and token_ids is not None:
             words = word(token_ids)
         else:
@@ -58,8 +58,8 @@ class HGEmbeddings(nn.Module):
                 table[None], (b, self.num_queries, self.hidden_size)
             )
         types = Embed(self.type_vocab_size, self.hidden_size,
-                      dtype=self.dtype, name="token_type_embeddings")(
-                          token_type_ids)
+                      zero_init_pad=True, dtype=self.dtype,
+                      name="token_type_embeddings")(token_type_ids)
         x = words + types
         x = LayerNorm(dtype=self.dtype, name="ln")(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)

@@ -45,20 +45,37 @@ def extend_mask(mask: jnp.ndarray, dtype: Dtype) -> jnp.ndarray:
 
 
 class Embed(nn.Module):
-    """Embedding table with optional frozen-zero row 0 (torch padding_idx)."""
+    """Embedding table with torch ``padding_idx=0`` semantics: row 0 gets NO
+    gradient (stop_gradient), so it stays frozen at its initial value.
+
+    Two init regimes exist in the reference:
+    - tables constructed and left alone (HGEmbeddings): torch zeroes the
+      padding row at construction -> ``zero_init_pad=True``;
+    - tables re-initialized by ``init_bert_weights`` from-scratch
+      (BertEmbeddings under --fromScratch, entry.py:170-172): the re-init
+      overwrites the zero with normal(0.02) and the row stays at that RANDOM
+      value forever (grads still masked) -> ``zero_init_pad=False``.
+    """
 
     num_embeddings: int
     features: int
-    zero_pad_idx: bool = True
+    freeze_pad_idx: bool = True
+    zero_init_pad: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if self.zero_init_pad:
+            def init(key, shape):
+                table = bert_kernel_init(key, shape)
+                return table.at[0].set(0.0)
+        else:
+            init = bert_kernel_init
         table = self.param(
-            "embedding", bert_kernel_init, (self.num_embeddings, self.features)
+            "embedding", init, (self.num_embeddings, self.features)
         )
-        if self.zero_pad_idx:
-            table = table.at[0].set(0.0)
+        if self.freeze_pad_idx:
+            table = table.at[0].set(jax.lax.stop_gradient(table[0]))
         table = table.astype(self.dtype)
         if ids is None:
             return table

@@ -134,26 +134,31 @@ def test_gt_hg_mode():
     assert out["hg_logit"].shape == (2, cfg.num_answers)
 
 
-def test_padding_idx_rows_are_zero():
+def test_padding_idx_row_gets_no_gradient():
+    """torch padding_idx semantics: row 0 of the embedding tables receives
+    ZERO gradient (frozen at its init value) while other rows train."""
+    import jax.numpy as jnp
+
     cfg = tiny_test_config(task="q")
     batch = _batch(cfg, with_video=False)
+    batch["input_ids"][:, 3] = 0  # ensure [PAD] id 0 is actually used
     model = ShgVqaModel(cfg)
     params = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
-    emb = params["params"]["bert_encoder"]["embeddings"]
-    # raw param row 0 may be nonzero at init, but the forward zeroes it:
-    # embedding [PAD] id 0 twice with different row-0 params must agree
-    batch0 = dict(batch)
-    batch0["input_ids"] = np.zeros_like(batch["input_ids"])
-    out_a = model.apply(params, batch0, deterministic=True)
-    params2 = jax.tree_util.tree_map(lambda x: x, params)
-    w = params2["params"]["bert_encoder"]["embeddings"]["word_embeddings"]["embedding"]
-    params2["params"]["bert_encoder"]["embeddings"]["word_embeddings"]["embedding"] = (
-        w.at[0].set(123.0)
-    )
-    out_b = model.apply(params2, batch0, deterministic=True)
-    np.testing.assert_allclose(
-        np.asarray(out_a["logit"]), np.asarray(out_b["logit"]), atol=1e-6
-    )
+
+    def loss(p):
+        out = model.apply(p, batch, deterministic=True)
+        return jnp.sum(out["logit"] ** 2)
+
+    grads = jax.grad(loss)(params)
+    g = np.asarray(
+        grads["params"]["bert_encoder"]["embeddings"]["word_embeddings"][
+            "embedding"])
+    assert np.abs(g[0]).max() == 0.0      # padding row frozen
+    assert np.abs(g[1:]).max() > 0.0      # real rows train
+    gp = np.asarray(
+        grads["params"]["bert_encoder"]["embeddings"]["position_embeddings"][
+            "embedding"])
+    assert np.abs(gp[0]).max() == 0.0     # position 0 frozen too (quirk)
 
 
 def test_situation_causality_in_decoder():
