@@ -107,3 +107,20 @@ def test_zero_targets_all_background():
     t, m = match_targets_per_frame(logits, labels, lengths)
     assert np.asarray(t).sum() == 0
     assert not np.asarray(m).any()
+
+
+@pytest.mark.parametrize("n", [3, 8, 12])
+def test_bitmask_dp_matches_jv_and_scipy(n):
+    from shgvqa_tpu.ops.matcher import hungarian_bitmask_dp
+
+    rng = np.random.RandomState(n)
+    cost = rng.randn(n, n).astype(np.float32)
+    dp = np.asarray(hungarian_bitmask_dp(jnp.asarray(cost)))
+    jv = np.asarray(hungarian_square(jnp.asarray(cost)))
+    ri, ci = linear_sum_assignment(cost)
+    c_dp = cost[np.arange(n), dp].sum()
+    c_jv = cost[np.arange(n), jv].sum()
+    c_sp = cost[ri, ci].sum()
+    np.testing.assert_allclose(c_dp, c_sp, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(c_jv, c_sp, rtol=1e-5, atol=1e-5)
+    assert sorted(dp.tolist()) == list(range(n))
