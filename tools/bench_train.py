@@ -14,6 +14,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -34,7 +35,11 @@ def main() -> None:
     from shgvqa_tpu.train.step import compute_losses
 
     batch_size = int(os.environ.get("SHGVQA_BENCH_TRAIN_BATCH", "16"))
-    cfg = _flagship_cfg().replace(freeze_backbone=False, remat=False)
+    # frozen backbone is the STAR recipe (star.py:87-88) and avoids the
+    # conv-backward path, which lowers ~50x slower than forward on this
+    # platform (see axon-tpu notes); unfreeze with SHGVQA_BENCH_UNFREEZE=1
+    freeze = os.environ.get("SHGVQA_BENCH_UNFREEZE", "0") != "1"
+    cfg = _flagship_cfg().replace(freeze_backbone=freeze, remat=False)
     model = VideoShgVqaModel(cfg)
     tx = make_optimizer(lr=1e-5, t_total=1000, warmup=0.1)
 
@@ -50,7 +55,9 @@ def main() -> None:
                           rngs={"dropout": kd, "augment": ka})
         return compute_losses(cfg, out, b)
 
-    @jax.jit
+    # donate params/opt-state like the Trainer: reuses buffers in place,
+    # which also avoids per-output handle churn through the remote relay
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(p, o, b, k):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             p, b, k)
