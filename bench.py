@@ -61,20 +61,26 @@ def main() -> None:
                 params, dict(batch, visual_feats=feats), deterministic=True)
             return jnp.argmax(out["hg_logit"], axis=-1)
 
-        # two input buffers (defeats any result caching); scalar host fetch
-        # per iteration forces real completion — block_until_ready alone has
-        # proven unreliable through the remote-TPU relay
+        # two input buffers (defeats any result caching).  Timing protocol
+        # for the remote-relay backend: the device stream executes enqueued
+        # programs in order, but a HOST FETCH costs ~200-400ms of relay
+        # latency regardless of size — so enqueue all iterations and fetch
+        # ONE scalar at the end (forces completion of the whole in-order
+        # queue), amortizing the fetch.  (block_until_ready alone returns
+        # early through the relay; a naive per-iter fetch measures relay
+        # latency, not compute.)
         frames2 = jnp.asarray(
             _example_batch(cfg, batch_size=batch_size, seed=1)["frames"])
         inputs = [frames, frames2]
 
         _ = int(forward(params, bb_params, frames, batch)[0])  # compile
 
-        iters = 10
+        iters = 50
         t0 = time.perf_counter()
+        outs = []
         for i in range(iters):
-            out = forward(params, bb_params, inputs[i % 2], batch)
-            _ = int(out[0])
+            outs.append(forward(params, bb_params, inputs[i % 2], batch))
+        _ = int(outs[-1][0])          # one fetch drains the queue
         dt = time.perf_counter() - t0
         cps = batch_size * iters / dt
         if cps > best[0]:

@@ -165,21 +165,37 @@ class Trainer:
     # -- evaluation -------------------------------------------------------
     def predict(self, batches: Iterable[Dict[str, np.ndarray]]
                 ) -> Tuple[Dict[str, int], Dict[str, int]]:
-        """Returns (quesid2ans from logit, quesid2ans from hg_logit)."""
+        """Returns (quesid2ans from logit, quesid2ans from hg_logit).
+
+        Dispatches every batch asynchronously and fetches predictions in one
+        pass at the end: on remote-relay TPU backends a host fetch costs
+        hundreds of ms regardless of size, so per-batch fetches would
+        dominate the eval loop."""
         if self._eval_step is None:
             self._build_steps()
-        quesid2ans: Dict[str, int] = {}
-        hg_quesid2ans: Dict[str, int] = {}
+        pending = []
         for batch in batches:
             batch = dict(batch)
             ques_ids = batch.pop("ques_id")
             n_valid = batch.pop("n_valid", len(ques_ids))
             preds = self._eval_step(self.params, batch)
-            ans = np.asarray(preds["answer"])
-            hg = np.asarray(preds.get("hg_answer", preds["answer"]))
+            pending.append((ques_ids, n_valid, preds))
+
+        quesid2ans: Dict[str, int] = {}
+        hg_quesid2ans: Dict[str, int] = {}
+        if not pending:
+            return quesid2ans, hg_quesid2ans
+        all_ans = np.asarray(jnp.concatenate(
+            [p["answer"] for _, _, p in pending]))
+        all_hg = np.asarray(jnp.concatenate(
+            [p.get("hg_answer", p["answer"]) for _, _, p in pending]))
+        offset = 0
+        for ques_ids, n_valid, preds in pending:
+            bs = int(preds["answer"].shape[0])
             for i, qid in enumerate(ques_ids[:n_valid]):
-                quesid2ans[qid] = int(ans[i])
-                hg_quesid2ans[qid] = int(hg[i])
+                quesid2ans[qid] = int(all_ans[offset + i])
+                hg_quesid2ans[qid] = int(all_hg[offset + i])
+            offset += bs
         return quesid2ans, hg_quesid2ans
 
     def evaluate_hg_accuracy(self, batches: Iterable[Dict[str, np.ndarray]]
@@ -212,17 +228,20 @@ class Trainer:
                 num_situations=cfg.data.num_situations)
             return (100.0 - rel["class_error"], 100.0 - act["class_error"])
 
-        rel_accs, act_accs = [], []
+        pending = []
         for batch in batches:
             batch = dict(batch)
             batch.pop("ques_id", None)
             batch.pop("n_valid", None)
-            r, a = hg_metrics(self.params, batch)
-            rel_accs.append(float(r))
-            act_accs.append(float(a))
+            pending.append(hg_metrics(self.params, batch))
+        if not pending:
+            return {"rel_class_acc": 0.0, "act_class_acc": 0.0}
+        # single fetch for all batches (relay fetch latency amortization)
+        stacked = np.asarray(jnp.stack(
+            [jnp.stack(p) for p in pending]))
         return {
-            "rel_class_acc": float(np.mean(rel_accs)) if rel_accs else 0.0,
-            "act_class_acc": float(np.mean(act_accs)) if act_accs else 0.0,
+            "rel_class_acc": float(stacked[:, 0].mean()),
+            "act_class_acc": float(stacked[:, 1].mean()),
         }
 
     # -- state ------------------------------------------------------------

@@ -69,12 +69,14 @@ def main() -> None:
     _ = float(loss)
     compile_s = time.perf_counter() - t0
 
-    iters = 5
+    # enqueue all steps, fetch one scalar at the end: per-fetch relay
+    # latency (~0.3s) would otherwise dominate (device step is ms-scale)
+    iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
         params, opt_state, loss = train_step(
             params, opt_state, batch, jax.random.fold_in(rng, i))
-        _ = float(loss)  # host fetch forces completion
+    _ = float(loss)
     dt = time.perf_counter() - t0
 
     cps = batch_size * iters / dt / max(1, jax.device_count())
