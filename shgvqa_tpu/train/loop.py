@@ -47,6 +47,9 @@ class Trainer:
             weight_decay=cfg.optim.weight_decay,
             grad_clip=cfg.optim.grad_clip,
             trainable_mask=trainable_mask,
+            # flat (raveled) updates minimize kernel count on single-chip;
+            # per-leaf keeps optimizer state sharded under tensor parallelism
+            flat=cfg.mesh.model_parallel <= 1,
         )
         self.params = None
         self.opt_state = None

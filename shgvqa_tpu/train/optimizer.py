@@ -99,6 +99,80 @@ def bert_adam(
     return optax.GradientTransformation(init, update)
 
 
+class FlatBertAdamState(NamedTuple):
+    step: jnp.ndarray
+    m: jnp.ndarray
+    v: jnp.ndarray
+    trainable: jnp.ndarray   # flat 0/1 mask (all-ones when nothing frozen)
+
+
+def bert_adam_flat(
+    lr: float,
+    t_total: int = -1,
+    warmup: float = 0.1,
+    schedule: str = "warmup_linear",
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-6,
+    weight_decay: float = 0.01,
+    grad_clip: float = 5.0,
+    trainable_mask=None,
+) -> optax.GradientTransformation:
+    """BertAdam over RAVELED parameters: global-norm clip + the full update
+    computed on one flat vector.
+
+    Identical math to ``chain(clip_by_global_norm, bert_adam)`` but emitted
+    as ~10 XLA ops instead of ~8 per parameter leaf — on backends with
+    per-kernel dispatch overhead (remote TPU relays) the optimizer goes from
+    thousands of kernel launches to a handful.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    sched_fn: Callable = SCHEDULES[schedule]
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        if trainable_mask is not None:
+            mask_tree = jax.tree_util.tree_map(
+                lambda t, p: jnp.full(jnp.shape(p), float(t), jnp.float32),
+                trainable_mask, params,
+            )
+            trainable, _ = ravel_pytree(mask_tree)
+        else:
+            trainable = jnp.ones_like(flat)
+        return FlatBertAdamState(
+            step=jnp.zeros((), jnp.int32),
+            m=jnp.zeros_like(flat),
+            v=jnp.zeros_like(flat),
+            trainable=trainable,
+        )
+
+    def update(grads, state, params=None):
+        assert params is not None
+        g, unravel = ravel_pytree(grads)
+        p, _ = ravel_pytree(params)
+        # frozen params carry no gradient in the reference (requires_grad
+        # False, star.py:87-88) — exclude them from the clip norm exactly
+        g = g * state.trainable
+        # global-norm clip (agqaHGQA.py:391)
+        gnorm = jnp.linalg.norm(g)
+        scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
+        g = g * scale
+        m = b1 * state.m + (1.0 - b1) * g
+        v = b2 * state.v + (1.0 - b2) * g * g
+        if t_total > 0:
+            progress = state.step.astype(jnp.float32) / float(t_total)
+            lr_t = lr * sched_fn(progress, warmup)
+        else:
+            lr_t = jnp.asarray(lr, jnp.float32)
+        upd = -lr_t * (m / (jnp.sqrt(v) + eps) + weight_decay * p)
+        upd = upd * state.trainable      # frozen leaves get exact zeros
+        return unravel(upd), FlatBertAdamState(
+            step=state.step + 1, m=m, v=v, trainable=state.trainable)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     lr: float,
     t_total: int,
@@ -110,9 +184,18 @@ def make_optimizer(
     weight_decay: float = 0.01,
     grad_clip: float = 5.0,
     trainable_mask: Optional[optax.Params] = None,
+    flat: bool = True,
 ) -> optax.GradientTransformation:
     """clip-by-global-norm 5.0 -> BertAdam, optionally masked to trainable
-    params (frozen subtrees get zero updates)."""
+    params (frozen subtrees get zero updates).
+
+    ``flat=True`` (default) computes the identical update over raveled
+    params in a handful of XLA ops (see bert_adam_flat) — important on
+    per-op-dispatch backends; ``flat=False`` keeps the per-leaf optax
+    composition."""
+    if flat:
+        return bert_adam_flat(lr, t_total, warmup, schedule, b1, b2, eps,
+                              weight_decay, grad_clip, trainable_mask)
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         bert_adam(lr, t_total, warmup, schedule, b1, b2, eps, weight_decay),

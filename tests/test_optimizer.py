@@ -82,15 +82,17 @@ def test_global_norm_clip_composes():
     gradient of global norm 200 clipped to 1, the accumulated second moment
     reflects per-element 0.5 (=100/200), not 100 (Adam's update itself is
     scale-invariant, so inspect the state, not the update)."""
-    tx = make_optimizer(lr=1.0, t_total=10, warmup=0.1, grad_clip=1.0)
-    params = {"w": jnp.zeros((4,))}
-    state = tx.init(params)
-    big = {"w": jnp.full((4,), 100.0)}
-    _, state = tx.update(big, state, params)
-    adam_state = state[1]  # (clip_state, BertAdamState)
-    v = np.asarray(adam_state.v["w"])
-    expected_v = 0.001 * 0.5 ** 2  # (1-b2) * (100/200)^2 per element
-    np.testing.assert_allclose(v, expected_v, rtol=1e-4)
+    for flat in (False, True):
+        tx = make_optimizer(lr=1.0, t_total=10, warmup=0.1, grad_clip=1.0,
+                            flat=flat)
+        params = {"w": jnp.zeros((4,))}
+        state = tx.init(params)
+        big = {"w": jnp.full((4,), 100.0)}
+        _, state = tx.update(big, state, params)
+        adam_state = state[1] if not flat else state
+        v = np.asarray(adam_state.v["w"] if not flat else adam_state.v)
+        expected_v = 0.001 * 0.5 ** 2  # (1-b2) * (100/200)^2 per element
+        np.testing.assert_allclose(v, expected_v, rtol=1e-4)
 
 
 def test_trainable_mask_freezes_subtree():
@@ -104,3 +106,31 @@ def test_trainable_mask_freezes_subtree():
         params = optax.apply_updates(params, updates)
     np.testing.assert_allclose(np.asarray(params["backbone"]), 1.0)
     assert np.abs(np.asarray(params["head"]) - 1.0).max() > 0
+
+
+def test_flat_matches_per_leaf_over_steps():
+    """bert_adam_flat must be numerically identical to the per-leaf
+    composition, with and without freezing."""
+    rng = np.random.RandomState(0)
+    params = {"a": jnp.asarray(rng.randn(5, 3), jnp.float32),
+              "b": {"c": jnp.asarray(rng.randn(4), jnp.float32)}}
+    mask = {"a": True, "b": {"c": False}}
+    for m in (None, mask):
+        t1 = make_optimizer(0.1, 20, 0.2, trainable_mask=m, flat=False)
+        t2 = make_optimizer(0.1, 20, 0.2, trainable_mask=m, flat=True)
+        p1 = jax.tree_util.tree_map(lambda x: x, params)
+        p2 = jax.tree_util.tree_map(lambda x: x, params)
+        s1, s2 = t1.init(p1), t2.init(p2)
+        for i in range(6):
+            scale = 10.0 if i % 2 else 0.01
+            g = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(rng.randn(*x.shape) * scale,
+                                      jnp.float32), params)
+            u1, s1 = t1.update(g, s1, p1)
+            p1 = optax.apply_updates(p1, u1)
+            u2, s2 = t2.update(g, s2, p2)
+            p2 = optax.apply_updates(p2, u2)
+        for l1, l2 in zip(jax.tree_util.tree_leaves(p1),
+                          jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                       rtol=2e-5, atol=1e-6)

@@ -71,6 +71,9 @@ def main() -> None:
 
     # enqueue all steps, fetch one scalar at the end: per-fetch relay
     # latency (~0.3s) would otherwise dominate (device step is ms-scale)
+    prof = os.environ.get("SHGVQA_BENCH_PROFILE")
+    if prof:
+        jax.profiler.start_trace(prof)
     iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
@@ -78,6 +81,8 @@ def main() -> None:
             params, opt_state, batch, jax.random.fold_in(rng, i))
     _ = float(loss)
     dt = time.perf_counter() - t0
+    if prof:
+        jax.profiler.stop_trace()
 
     cps = batch_size * iters / dt / max(1, jax.device_count())
     print(json.dumps({
