@@ -86,8 +86,13 @@ class AGQAData:
     def from_files(cls, cfg: Config, split: str) -> "AGQAData":
         d = cfg.data
         root = d.data_dir
-        datums = load_json_or_pickle(
-            os.path.join(root, f"{split}_balanced.json"))
+        # --trainSubSet swaps the train annotation file for the curated
+        # subset (agqa_data.py:66-74 loads new-sub-train.json)
+        if d.train_sub_set and split == d.train_split:
+            name = "new-sub-train.json"
+        else:
+            name = f"{split}_balanced.json"
+        datums = load_json_or_pickle(os.path.join(root, name))
         vocab = load_json_or_pickle(os.path.join(root, "trainVal_vocab.json"))
         triplets = load_json_or_pickle(
             os.path.join(root, "frameTriplets.json"))
