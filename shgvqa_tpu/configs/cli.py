@@ -128,6 +128,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallasAttention", dest="use_pallas_attention",
                    action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace to {output}/profile")
     p.add_argument("--dataParallel", dest="data_parallel", type=int, default=-1)
     p.add_argument("--modelParallel", dest="model_parallel", type=int, default=1)
     p.add_argument("--syntheticData", dest="synthetic_data", type=int,
@@ -247,6 +249,7 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         output_attention=ns.output_attention,
         compute_dtype=ns.compute_dtype,
         remat=ns.remat,
+        profile=ns.profile,
         use_pallas_attention=ns.use_pallas_attention,
     )
     cfg = cfg.replace(after_cross_attn_feats=ns.after_cross_attn_feats)

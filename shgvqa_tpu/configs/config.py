@@ -210,6 +210,7 @@ class Config:
     compute_dtype: str = "bfloat16"   # matmul/activation dtype under jit
     param_dtype: str = "float32"
     remat: bool = False               # jax.checkpoint the encoder blocks
+    profile: bool = False             # capture a jax.profiler trace
     use_pallas_attention: bool = False  # fused attention kernels (kernels/)
     donate_state: bool = True
 

@@ -34,7 +34,7 @@ def main() -> None:
     from shgvqa_tpu.train.optimizer import make_optimizer
     from shgvqa_tpu.train.step import compute_losses
 
-    batch_size = int(os.environ.get("SHGVQA_BENCH_TRAIN_BATCH", "16"))
+    batch_size = int(os.environ.get("SHGVQA_BENCH_TRAIN_BATCH", "32"))
     # frozen backbone is the STAR recipe (star.py:87-88) and avoids the
     # conv-backward path, which lowers ~50x slower than forward on this
     # platform (see axon-tpu notes); unfreeze with SHGVQA_BENCH_UNFREEZE=1
@@ -44,6 +44,8 @@ def main() -> None:
     tx = make_optimizer(lr=1e-5, t_total=1000, warmup=0.1)
 
     batch = _example_batch(cfg, batch_size=batch_size, with_labels=True)
+    # uint8 frames (pipeline dtype); on-device normalization in the model
+    batch["frames"] = (batch["frames"] * 255.0).astype(np.uint8)
     rng = jax.random.PRNGKey(0)
     params = jax.jit(lambda r, b: model.init(r, b, deterministic=True))(
         rng, batch)
