@@ -1,19 +1,25 @@
 """Benchmark: end-to-end clips/sec/chip, frames -> answer (BASELINE.json
 north star).
 
-Runs the flagship HGQA inference path at published dims (slow_r50 backbone on
-16x224x224 clips + bert-base tri-stream encoder + both HG decoders + HG
-cross encoder) on the available accelerator and prints ONE JSON line.
+Runs the flagship HGQA inference path at published dims — uint8 frames (the
+data pipeline's real dtype) through on-device normalization, the slow_r50
+backbone, bert-base tri-stream encoder, both HG decoders, and the HG cross
+encoder — on the available accelerator and prints ONE JSON line.
 
-The reference never measured throughput (SURVEY.md §6), so vs_baseline is
-reported against a fixed reference point: the PyTorch reference's theoretical
-best on its published hardware is unknown; we report vs_baseline=1.0 at the
-first recorded value and track improvements across rounds via BENCH_r{N}.json.
+Timing protocol for remote-relay TPU backends: the device stream executes
+enqueued programs in order, but a host fetch costs hundreds of ms of relay
+latency regardless of size — so all iterations are enqueued and ONE scalar
+is fetched at the end.  (block_until_ready returns early through the relay.)
+
+The reference never measured throughput (SURVEY.md §6); vs_baseline is fixed
+at 1.0 for the first recorded value and improvements are tracked across
+rounds via BENCH_r{N}.json.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -21,66 +27,54 @@ import numpy as np
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from shgvqa_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    import jax.numpy as jnp
 
     from __graft_entry__ import _example_batch, _flagship_cfg
-    from shgvqa_tpu.models.backbone import SlowR50
-    from shgvqa_tpu.models.shgvqa import ShgVqaModel
-
-    import os
+    from shgvqa_tpu.models.shgvqa import VideoShgVqaModel
 
     cfg = _flagship_cfg()
-    backbone = SlowR50(dtype=jnp.bfloat16)
-    model = ShgVqaModel(cfg)
+    model = VideoShgVqaModel(cfg)
     rng = jax.random.PRNGKey(0)
 
     batch_sizes = [int(x) for x in os.environ.get(
-        "SHGVQA_BENCH_BATCHES", "8,32").split(",")]
-    # params are batch-size independent: init once on a size-1 slice
-    setup = _example_batch(cfg, batch_size=1)
-    setup_frames = jnp.asarray(setup.pop("frames"))
-    bb_params = jax.jit(backbone.init)(rng, setup_frames)
-    feats = jax.jit(backbone.apply)(bb_params, setup_frames)
-    params = jax.jit(
-        lambda r, b: model.init(r, b, deterministic=True)
-    )(rng, dict(setup, visual_feats=feats))
+        "SHGVQA_BENCH_BATCHES", "32").split(",")]
+
+    def make_batch(batch_size, seed):
+        b = _example_batch(cfg, batch_size=batch_size, seed=seed)
+        # uint8 frames: the input pipeline's actual dtype (PNG decode);
+        # normalization happens on device inside the model
+        b["frames"] = (b["frames"] * 255.0).astype(np.uint8)
+        return b
+
+    # params are batch-size independent: init once at size 1
+    params = jax.jit(lambda r, b: model.init(r, b, deterministic=True))(
+        rng, make_batch(1, 0))
 
     best = (0.0, 0)
     for batch_size in batch_sizes:
-        batch = _example_batch(cfg, batch_size=batch_size)
-        frames = jnp.asarray(batch.pop("frames"))
+        # stage inputs on device ONCE: the relay's host->device path is
+        # ~100MB/s and a real input pipeline overlaps transfers with compute
+        batch = jax.device_put(make_batch(batch_size, 0))
+        batch2 = jax.device_put(make_batch(batch_size, 1))
 
         @jax.jit
-        def forward(params, bb_params, frames, batch):
-            feats = backbone.apply(bb_params, frames)
-            out = model.apply(
-                params, dict(batch, visual_feats=feats), deterministic=True)
+        def forward(params, batch):
+            out = model.apply(params, batch, deterministic=True)
             return jnp.argmax(out["hg_logit"], axis=-1)
 
-        # two input buffers (defeats any result caching).  Timing protocol
-        # for the remote-relay backend: the device stream executes enqueued
-        # programs in order, but a HOST FETCH costs ~200-400ms of relay
-        # latency regardless of size — so enqueue all iterations and fetch
-        # ONE scalar at the end (forces completion of the whole in-order
-        # queue), amortizing the fetch.  (block_until_ready alone returns
-        # early through the relay; a naive per-iter fetch measures relay
-        # latency, not compute.)
-        frames2 = jnp.asarray(
-            _example_batch(cfg, batch_size=batch_size, seed=1)["frames"])
-        inputs = [frames, frames2]
-
-        _ = int(forward(params, bb_params, frames, batch)[0])  # compile
+        _ = int(forward(params, batch)[0])   # compile
 
         iters = 50
+        inputs = [batch, batch2]
         t0 = time.perf_counter()
         outs = []
         for i in range(iters):
-            outs.append(forward(params, bb_params, inputs[i % 2], batch))
-        _ = int(outs[-1][0])          # one fetch drains the queue
+            outs.append(forward(params, inputs[i % 2]))
+        _ = int(outs[-1][0])                 # one fetch drains the queue
         dt = time.perf_counter() - t0
         cps = batch_size * iters / dt
         if cps > best[0]:
@@ -89,15 +83,12 @@ def main() -> None:
     n_chips = max(1, jax.device_count())
     value = best[0] / n_chips
     print(json.dumps({
-        "metric": f"clips/sec/chip (frames->answer, HGQA b{best[1]} bf16)",
+        "metric": f"clips/sec/chip (uint8 frames->answer, HGQA b{best[1]} "
+                  f"bf16)",
         "value": round(value, 2),
         "unit": "clips/s/chip",
         "vs_baseline": 1.0,
     }))
-
-
-def batch_slice(batch, n):
-    return {k: v[:n] for k, v in batch.items()}
 
 
 if __name__ == "__main__":

@@ -85,9 +85,30 @@ class Batcher:
             yield stack_items(items, pad_to=bs if self.pad_last else None)
 
 
-def prefetch(iterator: Iterable[Dict], depth: int = 2) -> Iterator[Dict]:
+def device_put_batches(iterator: Iterable[Dict]) -> Iterator[Dict]:
+    """Transfer each batch's arrays to the default device, leaving non-array
+    fields (ques_id lists, n_valid) on host.  Compose INSIDE prefetch() so
+    host->device transfers overlap compute — critical on relay-attached TPUs
+    where h2d bandwidth is ~100MB/s."""
+    import jax
+
+    for batch in iterator:
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray):
+                out[k] = jax.device_put(v)
+            else:
+                out[k] = v
+        yield out
+
+
+def prefetch(iterator: Iterable[Dict], depth: int = 2,
+             to_device: bool = True) -> Iterator[Dict]:
     """Run the upstream iterator in a thread, keeping ``depth`` batches
-    ready."""
+    ready; with ``to_device`` the thread also stages arrays on the
+    accelerator so transfers overlap compute."""
+    if to_device:
+        iterator = device_put_batches(iterator)
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     err: List[BaseException] = []
