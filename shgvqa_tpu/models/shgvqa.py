@@ -229,7 +229,8 @@ class VideoShgVqaModel(nn.Module):
         self.head = ShgVqaModel(self.cfg)
 
     def __call__(self, batch: Dict[str, jnp.ndarray],
-                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+                 deterministic: bool = True,
+                 output_attentions: bool = False) -> Dict[str, jnp.ndarray]:
         from shgvqa_tpu.data.transforms import (
             NORM_STATS,
             aug_mix,
@@ -258,7 +259,7 @@ class VideoShgVqaModel(nn.Module):
                 feats = jax.lax.stop_gradient(feats)
             batch = {k: v for k, v in batch.items() if k != "frames"}
             batch["visual_feats"] = feats
-        return self.head(batch, deterministic)
+        return self.head(batch, deterministic, output_attentions)
 
 
 def _dt(name: str):

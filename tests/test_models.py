@@ -189,3 +189,27 @@ def test_situation_causality_in_decoder():
     b_ = np.asarray(out2["rel_preds"])
     np.testing.assert_allclose(a[:, early], b_[:, early], rtol=2e-5, atol=2e-5)
     assert np.abs(a[:, late] - b_[:, late]).max() > 1e-3
+
+
+@pytest.mark.slow
+def test_video_model_attention_outputs():
+    """--outputAttn must work through the frames->backbone wrapper too."""
+    from shgvqa_tpu.models.shgvqa import VideoShgVqaModel
+
+    cfg = tiny_test_config(task="hgqa")
+    model = VideoShgVqaModel(cfg)
+    rng = np.random.RandomState(0)
+    d, e = cfg.data, cfg.encoder
+    batch = {
+        "input_ids": rng.randint(
+            1, e.vocab_size, (1, d.max_seq_length)).astype(np.int32),
+        "input_mask": np.ones((1, d.max_seq_length), np.int32),
+        "segment_ids": np.zeros((1, d.max_seq_length), np.int32),
+        # slow backbone preserves T; the conv tokenizer eats 8 frames
+        "frames": rng.randint(0, 255, (1, e.visual_t + 8, 32, 32, 3)
+                              ).astype(np.uint8),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
+    out = model.apply(params, batch, deterministic=True,
+                      output_attentions=True)
+    assert set(out["attentions"].keys()) == {"encoder", "hgq"}
