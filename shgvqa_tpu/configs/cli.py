@@ -125,6 +125,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--computeDtype", dest="compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--untieXLayers", dest="untie_x_layers", action="store_true")
+    p.add_argument("--scanLayers", dest="scan_layers", action="store_true",
+                   help="lax.scan layer stacks (faster; different param tree)")
     p.add_argument("--pallasAttention", dest="use_pallas_attention",
                    action="store_true")
     p.add_argument("--remat", action="store_true")
@@ -175,6 +177,7 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         r_layers=ns.rlayers,
         cross_attn_type=ns.cross_attn_type,
         tie_x_layers=not ns.untie_x_layers,
+        scan_layers=ns.scan_layers,
     )
     dec = cfg.decoder.__class__(
         num_layers=ns.dlayers,

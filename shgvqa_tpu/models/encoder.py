@@ -68,6 +68,29 @@ class TriStreamEncoder(nn.Module):
             nn.remat(BertLayer, static_argnums=(3, 4)) if self.remat
             else BertLayer
         )
+        if c.scan_layers:
+            from shgvqa_tpu.models.scan_stacks import (
+                ScannedBertStack,
+                ScannedCrossStack,
+            )
+
+            stack_kw = dict(
+                num_heads=c.num_heads, head_dim=c.head_dim,
+                intermediate_size=c.intermediate_size,
+                attn_dropout=c.attention_dropout,
+                hidden_dropout=c.hidden_dropout, dtype=dt,
+            )
+            self.l_stack = ScannedBertStack(
+                num_layers=c.l_layers, **stack_kw, name="l_stack")
+            self.r_stack = ScannedBertStack(
+                num_layers=c.r_layers, **stack_kw, name="r_stack")
+            if c.cross_attn_type in ("cross", "old"):
+                self.x_stack = ScannedCrossStack(
+                    layer_cls=CROSS_LAYER_TYPES[c.cross_attn_type],
+                    num_layers=c.x_layers, tie=c.tie_x_layers, **stack_kw,
+                    name="x_stack")
+            else:
+                self.x_stack = None
         if c.no_caps:
             self.visual_tokenizer = VisualTokenizer(
                 hidden_size=c.hidden_size, dropout=c.hidden_dropout, dtype=dt
@@ -101,11 +124,13 @@ class TriStreamEncoder(nn.Module):
                          for i in range(c.l_layers)]
         self.r_layers = [layer_cls(**kw, name=f"r_{i}")
                          for i in range(c.r_layers)]
-        layer_cls = CROSS_LAYER_TYPES[c.cross_attn_type]
-        if c.tie_x_layers:
-            self.x_layers = [layer_cls(**kw, name="x_tied")]
+        x_layer_cls = CROSS_LAYER_TYPES[c.cross_attn_type]
+        if c.scan_layers and c.cross_attn_type in ("cross", "old"):
+            self.x_layers = []    # scanned x_stack used instead
+        elif c.tie_x_layers:
+            self.x_layers = [x_layer_cls(**kw, name="x_tied")]
         else:
-            self.x_layers = [layer_cls(**kw, name=f"x_{i}")
+            self.x_layers = [x_layer_cls(**kw, name=f"x_{i}")
                              for i in range(c.x_layers)]
 
     def __call__(
@@ -129,6 +154,35 @@ class TriStreamEncoder(nn.Module):
             if c.caps_mask_features:
                 caps = self.caps_mask(caps, lang_emb[:, 0])
             visn = self.caps_proj(caps)
+
+        if c.scan_layers and not output_attentions:
+            lang = self.l_stack(lang_emb, lang_mask, deterministic)
+            lang_snapshot = lang
+            visn = self.r_stack(visn, visn_mask, deterministic)
+            visn_snapshot = visn
+            if self.x_stack is not None:
+                lang, visn = self.x_stack(lang, lang_mask, visn, visn_mask,
+                                          deterministic)
+            else:
+                # 'self'/'cross_self' change sequence shapes per step;
+                # run unrolled
+                for step, layer in enumerate(
+                        self.x_layers * c.x_layers if c.tie_x_layers
+                        else self.x_layers):
+                    lang, visn, _ = layer(
+                        lang, lang_mask, visn, visn_mask, step=step,
+                        deterministic=deterministic)
+                    if c.cross_attn_type == "self" and step == 0:
+                        from shgvqa_tpu.models.cross import _cat_masks
+
+                        visn_mask = _cat_masks(
+                            visn_mask, lang_mask,
+                            visn.shape[1] - lang.shape[1], lang.shape[1])
+            return lang, visn, lang_snapshot, visn_snapshot
+        if c.scan_layers and output_attentions:
+            raise ValueError(
+                "output_attentions is unavailable with scan_layers; rerun "
+                "with scan_layers=False for attention dumps")
 
         attn = {"lang": [], "visn": [], "cross": []}
         lang = lang_emb

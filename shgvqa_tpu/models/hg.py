@@ -116,6 +116,27 @@ class HGQCrossEncoder(nn.Module):
         else:
             hg_ext = None
 
+        if (c.scan_layers and not output_attentions
+                and c.cross_attn_type in ("cross", "old")):
+            from shgvqa_tpu.models.scan_stacks import ScannedCrossStack
+
+            lang, hg_stream = ScannedCrossStack(
+                layer_cls=CROSS_LAYER_TYPES[c.cross_attn_type],
+                num_layers=c.x_layers, tie=True,
+                num_heads=c.num_heads, head_dim=c.head_dim,
+                intermediate_size=c.intermediate_size,
+                attn_dropout=c.attention_dropout,
+                hidden_dropout=c.hidden_dropout, dtype=dt,
+                name="x_stack",
+            )(lang_feats, lang_ext_mask, hg, hg_ext, deterministic)
+            if c.cross_attn_type == "cross":
+                pooled = Pooler2(c.hidden_size, dtype=dt, name="pooler")(
+                    hg_stream, lang)
+            else:
+                pooled = Pooler(c.hidden_size, dtype=dt, name="pooler")(
+                    hg_stream)
+            return pooled
+
         layer_cls = CROSS_LAYER_TYPES[c.cross_attn_type]
         layer = layer_cls(
             num_heads=c.num_heads,

@@ -93,6 +93,7 @@ class ShgVqaModel(nn.Module):
                 ffn_dim=cfg.decoder.ffn_dim,
                 dropout=cfg.decoder.dropout,
                 dtype=_dt(dt),
+                scan=enc.scan_layers,
             )
             self.rel_decoder = HGDecoder(**dec_kw)
             self.action_decoder = HGDecoder(**dec_kw)
