@@ -39,7 +39,11 @@ def main() -> None:
     # conv-backward path, which lowers ~50x slower than forward on this
     # platform (see axon-tpu notes); unfreeze with SHGVQA_BENCH_UNFREEZE=1
     freeze = os.environ.get("SHGVQA_BENCH_UNFREEZE", "0") != "1"
-    cfg = _flagship_cfg().replace(freeze_backbone=freeze, remat=False)
+    # scan_layers=False: the relay's chipless AOT compile helper crashes on
+    # the scanned BACKWARD graph (HTTP 500; the same graph compiles and runs
+    # on local XLA backends) — training benches stay unrolled here
+    cfg = _flagship_cfg(scan_layers=False).replace(
+        freeze_backbone=freeze, remat=False)
     model = VideoShgVqaModel(cfg)
     tx = make_optimizer(lr=1e-5, t_total=1000, warmup=0.1)
 
