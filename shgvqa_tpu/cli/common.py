@@ -170,12 +170,15 @@ def run_driver(dataset: str, argv=None) -> dict:
     example = _example_from(train_batcher)
     trainer.init_params(example)
     if cfg.freeze_backbone and cfg.task != "q":
-        # rebuild optimizer with the backbone masked out
+        # rebuild optimizer with the backbone masked out, reusing the
+        # already-initialized params (init is a full-device trace)
         mask = _backbone_mask(trainer.params)
+        params = trainer.params
         trainer = Trainer(
             cfg, steps_per_epoch=max(1, len(train_batcher)),
             model=trainer.model, trainable_mask=mask)
-        trainer.init_params(example)
+        trainer.params = params
+        trainer.opt_state = trainer.tx.init(params)
     if cfg.load:
         trainer.load(cfg.load)
 
