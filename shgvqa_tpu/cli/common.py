@@ -179,6 +179,8 @@ def run_driver(dataset: str, argv=None) -> dict:
             model=trainer.model, trainable_mask=mask)
         trainer.params = params
         trainer.opt_state = trainer.tx.init(params)
+    if extras.get("load_lxmert"):
+        trainer.load_encoder(extras["load_lxmert"])   # --loadLXMERT
     if cfg.load:
         trainer.load(cfg.load)
 

@@ -270,5 +270,6 @@ def parse_reference_flags_with_extras(argv: Optional[Sequence[str]] = None,
         "synthetic_data": ns.synthetic_data,
         "vocab_path": ns.vocab_path,
         "tqdm": ns.tqdm,
+        "load_lxmert": ns.load_lxmert,
     }
     return cfg, extras

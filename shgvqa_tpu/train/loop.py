@@ -255,6 +255,45 @@ class Trainer:
             "step": self.step,
         }
 
+    # -- encoder-only snapshots (entry.py:203-238 '%s_LXRT.pth' analog) ----
+    def save_encoder(self, path: str) -> None:
+        """Save only the language/tri-stream encoder subtree (the reference's
+        LXMERT-style '%s_LXRT.pth' snapshots)."""
+        sub = {}
+        for key in ("lxrt", "bert_encoder"):
+            if key in self.params["params"]:
+                sub[key] = self.params["params"][key]
+        self.ckpt._ckptr.save(
+            self.ckpt.path(path + "_LXRT") if "/" not in path
+            else path + "_LXRT",
+            jax.device_get(sub), force=True)
+
+    def load_encoder(self, path: str) -> None:
+        """--loadLXMERT: restore encoder weights into the current params,
+        leaving heads/decoders at their init (the reference loads with
+        strict=False and prints the diff, entry.py:224-238)."""
+        import os as _os
+
+        full = path + "_LXRT" if not path.endswith("_LXRT") else path
+        if not _os.path.isabs(full):
+            full = self.ckpt.path(full)
+        restored = self.ckpt._ckptr.restore(full)
+        loaded, missing = [], []
+        params = jax.device_get(self.params)
+        for key, subtree in restored.items():
+            if key in params["params"]:
+                params["params"][key] = jax.tree_util.tree_map(
+                    jnp.asarray, subtree)
+                loaded.append(key)
+            else:
+                missing.append(key)
+        self.params = params
+        self.metrics.log(
+            f"Loaded encoder snapshot from {full}: subtrees {loaded}"
+            + (f"; not in model: {missing}" if missing else ""))
+        # optimizer moments restart (the reference never checkpoints them)
+        self.opt_state = self.tx.init(self.params)
+
     def load(self, name_or_path: str) -> None:
         state = self.ckpt.restore(name_or_path, template=self.state_dict())
         self.params = state["params"]

@@ -147,3 +147,34 @@ def test_single_step_determinism():
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_encoder_snapshot_roundtrip(tmp_path):
+    """--loadLXMERT semantics: encoder subtree saved/restored independently
+    of heads (entry.py:203-238 '%s_LXRT.pth' analog)."""
+    import jax
+    from shgvqa_tpu.train.loop import Trainer
+
+    cfg = tiny_test_config(task="q").replace(output=str(tmp_path))
+    tr = Trainer(cfg, steps_per_epoch=2)
+    items = _make_items(cfg, n=2)
+    batch = stack_items(items)
+    batch.pop("ques_id")
+    batch.pop("n_valid")
+    batch = {k: v for k, v in batch.items()
+             if k in ("input_ids", "input_mask", "segment_ids", "target")}
+    tr.init_params(batch)
+    tr.save_encoder("ENC")
+
+    tr2 = Trainer(cfg.replace(seed=123), steps_per_epoch=2)
+    tr2.init_params(batch)
+
+    def leaf(t):
+        return np.asarray(
+            t.params["params"]["bert_encoder"]["embeddings"][
+                "word_embeddings"]["embedding"])
+
+    before = leaf(tr2)
+    tr2.load_encoder("ENC")
+    np.testing.assert_array_equal(leaf(tr2), leaf(tr))
+    assert not np.array_equal(before, leaf(tr2))
