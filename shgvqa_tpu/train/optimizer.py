@@ -129,6 +129,16 @@ def bert_adam_flat(
     from jax.flatten_util import ravel_pytree
 
     sched_fn: Callable = SCHEDULES[schedule]
+    LANES = 256   # flat state is kept (N/256, 256): a 1-D vector can be
+    # fused by XLA into pathologically-tiled shapes (observed: an (N, 4)
+    # stack whose (8,128) tiling pads the 4 lanes to 128 — a 32x HBM blowup
+    # that OOMs compile); lane-aligned 2-D shapes tile exactly.
+
+    def _pad2d(flat):
+        n = flat.shape[0]
+        padded = (n + LANES - 1) // LANES * LANES
+        return jnp.zeros((padded,), flat.dtype).at[:n].set(flat).reshape(
+            -1, LANES)
 
     def init(params):
         flat, _ = ravel_pytree(params)
@@ -142,20 +152,23 @@ def bert_adam_flat(
             trainable = jnp.ones_like(flat)
         return FlatBertAdamState(
             step=jnp.zeros((), jnp.int32),
-            m=jnp.zeros_like(flat),
-            v=jnp.zeros_like(flat),
-            trainable=trainable,
+            m=jnp.zeros_like(_pad2d(flat)),
+            v=jnp.zeros_like(_pad2d(flat)),
+            trainable=_pad2d(trainable),
         )
 
     def update(grads, state, params=None):
         assert params is not None
-        g, unravel = ravel_pytree(grads)
-        p, _ = ravel_pytree(params)
+        g_flat, unravel = ravel_pytree(grads)
+        p_flat, _ = ravel_pytree(params)
+        n = g_flat.shape[0]
+        g = _pad2d(g_flat)
+        p = _pad2d(p_flat)
         # frozen params carry no gradient in the reference (requires_grad
         # False, star.py:87-88) — exclude them from the clip norm exactly
         g = g * state.trainable
         # global-norm clip (agqaHGQA.py:391)
-        gnorm = jnp.linalg.norm(g)
+        gnorm = jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2))
         scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
         g = g * scale
         m = b1 * state.m + (1.0 - b1) * g
@@ -167,7 +180,7 @@ def bert_adam_flat(
             lr_t = jnp.asarray(lr, jnp.float32)
         upd = -lr_t * (m / (jnp.sqrt(v) + eps) + weight_decay * p)
         upd = upd * state.trainable      # frozen leaves get exact zeros
-        return unravel(upd), FlatBertAdamState(
+        return unravel(upd.reshape(-1)[:n]), FlatBertAdamState(
             step=state.step + 1, m=m, v=v, trainable=state.trainable)
 
     return optax.GradientTransformation(init, update)

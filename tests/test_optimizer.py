@@ -90,7 +90,11 @@ def test_global_norm_clip_composes():
         big = {"w": jnp.full((4,), 100.0)}
         _, state = tx.update(big, state, params)
         adam_state = state[1] if not flat else state
-        v = np.asarray(adam_state.v["w"] if not flat else adam_state.v)
+        if flat:
+            # flat state is lane-padded (N/256, 256); real entries first
+            v = np.asarray(adam_state.v).reshape(-1)[:4]
+        else:
+            v = np.asarray(adam_state.v["w"])
         expected_v = 0.001 * 0.5 ** 2  # (1-b2) * (100/200)^2 per element
         np.testing.assert_allclose(v, expected_v, rtol=1e-4)
 
