@@ -47,9 +47,12 @@ class Trainer:
             weight_decay=cfg.optim.weight_decay,
             grad_clip=cfg.optim.grad_clip,
             trainable_mask=trainable_mask,
-            # flat (raveled) updates minimize kernel count on single-chip;
-            # per-leaf keeps optimizer state sharded under tensor parallelism
-            flat=cfg.mesh.model_parallel <= 1,
+            # flat (raveled) updates minimize kernel count but can trip a
+            # libtpu horizontal-fusion layout pathology at some sizes
+            # (see bert_adam_flat docstring) — opt in via SHGVQA_FLAT_OPT=1
+            flat=(cfg.mesh.model_parallel <= 1
+                  and __import__("os").environ.get(
+                      "SHGVQA_FLAT_OPT", "0") == "1"),
         )
         self.params = None
         self.opt_state = None

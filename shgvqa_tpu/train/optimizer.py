@@ -197,15 +197,17 @@ def make_optimizer(
     weight_decay: float = 0.01,
     grad_clip: float = 5.0,
     trainable_mask: Optional[optax.Params] = None,
-    flat: bool = True,
+    flat: bool = False,
 ) -> optax.GradientTransformation:
     """clip-by-global-norm 5.0 -> BertAdam, optionally masked to trainable
     params (frozen subtrees get zero updates).
 
-    ``flat=True`` (default) computes the identical update over raveled
-    params in a handful of XLA ops (see bert_adam_flat) — important on
-    per-op-dispatch backends; ``flat=False`` keeps the per-leaf optax
-    composition."""
+    ``flat=True`` computes the identical update over raveled params in a
+    handful of XLA ops (see bert_adam_flat) — a large win on per-op-dispatch
+    backends, but this platform's libtpu can horizontally fuse the four flat
+    streams into an (N, 4) stack whose lane tiling pads 4->128 (32x HBM,
+    compile OOM) at some model sizes, so the per-leaf composition is the
+    safe default."""
     if flat:
         return bert_adam_flat(lr, t_total, warmup, schedule, b1, b2, eps,
                               weight_decay, grad_clip, trainable_mask)

@@ -44,8 +44,9 @@ def main() -> None:
     # on local XLA backends) — training benches stay unrolled here
     cfg = _flagship_cfg(scan_layers=False).replace(
         freeze_backbone=freeze, remat=False)
+    os.environ.setdefault("SHGVQA_FLAT_OPT", "1")  # verified at flagship size
     model = VideoShgVqaModel(cfg)
-    tx = make_optimizer(lr=1e-5, t_total=1000, warmup=0.1)
+    tx = make_optimizer(lr=1e-5, t_total=1000, warmup=0.1, flat=True)
 
     batch = _example_batch(cfg, batch_size=batch_size, with_labels=True)
     # uint8 frames (pipeline dtype); on-device normalization in the model
