@@ -41,7 +41,7 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
 
     batch_sizes = [int(x) for x in os.environ.get(
-        "SHGVQA_BENCH_BATCHES", "32").split(",")]
+        "SHGVQA_BENCH_BATCHES", "32,64").split(",")]
 
     def make_batch(batch_size, seed):
         b = _example_batch(cfg, batch_size=batch_size, seed=seed)
@@ -56,6 +56,7 @@ def main() -> None:
 
     best = (0.0, 0)
     for batch_size in batch_sizes:
+      try:
         # stage inputs on device ONCE: the relay's host->device path is
         # ~100MB/s and a real input pipeline overlaps transfers with compute
         batch = jax.device_put(make_batch(batch_size, 0))
@@ -79,6 +80,9 @@ def main() -> None:
         cps = batch_size * iters / dt
         if cps > best[0]:
             best = (cps, batch_size)
+      except Exception as e:  # noqa: BLE001 — skip OOM'd sizes, keep best
+        print(f"batch {batch_size} failed ({type(e).__name__}); skipping",
+              flush=True)
 
     n_chips = max(1, jax.device_count())
     value = best[0] / n_chips
