@@ -1,0 +1,83 @@
+"""Regression tests for the driver entry points (__graft_entry__.py).
+
+Round 1's recorded MULTICHIP check failed because dryrun_multichip tried to
+fix the platform in-process after the sitecustomize had already registered
+the axon TPU plugin; the fix runs the dryrun in a subprocess with a scrubbed
+environment. These tests reproduce the hostile conditions the driver runs
+under and assert the subprocess delegation survives them.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _hostile_env(**extra):
+    """The image's real environment: axon plugin force-registered at
+    interpreter startup via PALLAS_AXON_POOL_IPS (round-1 failure mode)."""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = "127.0.0.1"
+    env["JAX_PLATFORMS"] = "cpu"  # the override sitecustomize ignores
+    env.pop("_SHGVQA_MULTICHIP_WORKER", None)
+    env.update(extra)
+    return env
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_survives_hostile_env():
+    # jax pre-imported under the hostile env + the driver's XLA flag already
+    # present — both round-1 failure shapes at once.
+    code = (
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "print('PARENT_OK')\n"
+    )
+    env = _hostile_env(
+        XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout
+    assert "PARENT_OK" in proc.stdout
+
+
+def test_worker_env_is_scrubbed():
+    """The delegation builds a child env with no PALLAS_AXON* vars, cpu
+    platform, and the N-device host flag (no subprocess spawn needed —
+    verify via a stubbed subprocess.run)."""
+    import __graft_entry__ as g
+
+    captured = {}
+
+    real_run = subprocess.run
+
+    def fake_run(argv, env=None, cwd=None):
+        captured["argv"] = argv
+        captured["env"] = env
+        class R:
+            returncode = 0
+        return R()
+
+    hostile = _hostile_env()
+    old = dict(os.environ)
+    os.environ.clear()
+    os.environ.update(hostile)
+    subprocess.run = fake_run
+    try:
+        g.dryrun_multichip(8)
+    finally:
+        subprocess.run = real_run
+        os.environ.clear()
+        os.environ.update(old)
+
+    env = captured["env"]
+    assert not any(k.startswith("PALLAS_AXON") for k in env)
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+    assert captured["argv"][1].endswith("__graft_entry__.py")
+    assert captured["argv"][2:] == ["multichip", "8"]
