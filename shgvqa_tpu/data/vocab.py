@@ -29,20 +29,53 @@ def get_act_cls(annotation_dir: str,
     return out
 
 
-def get_vocab(annotation_dir: str) -> Tuple[Dict[str, int], Dict[str, int]]:
-    """(object_vocab, relationship_vocab) from object_classes.txt /
-    relationship_classes.txt (vis_utils.get_vocab)."""
+def _name_column(annotation_dir: str, filename: str) -> List[str]:
+    """Class files are 'tag name' lines ('o000 person'); the reference keeps
+    only the name column (vis_utils.get_vocab:191-213 split(' ')[1])."""
+    out: List[str] = []
+    with open(os.path.join(annotation_dir, filename)) as f:
+        for line in f:
+            line = line.strip("\n")
+            if line.strip():
+                parts = line.split(" ")
+                out.append(parts[1] if len(parts) > 1 else parts[0])
+    return out
 
-    def load(name):
-        vocab: Dict[str, int] = {}
-        with open(os.path.join(annotation_dir, name)) as f:
-            for i, line in enumerate(f):
-                line = line.strip()
-                if line:
-                    vocab[line] = i
-        return vocab
 
-    return load("object_classes.txt"), load("relationship_classes.txt")
+def get_vocab(annotation_dir: str) -> Tuple[List[str], List[str], List[str]]:
+    """(object, relationship, verb) name lists from *_classes.txt.
+
+    The reference's get_vocab (vis_utils.py:191-214) mistakenly appends the
+    verb names into rel_vocab and returns a 3-tuple that its only caller
+    unpacks as 2 (star_data.py:149 -> latent ValueError).  We keep the
+    intended semantics: three separate name lists; verbs empty when the file
+    is absent (STAR's data/ dir has one, AGQA annotations do too).
+    """
+    objs = _name_column(annotation_dir, "object_classes.txt")
+    rels = _name_column(annotation_dir, "relationship_classes.txt")
+    verb_path = os.path.join(annotation_dir, "verb_classes.txt")
+    verbs = (_name_column(annotation_dir, "verb_classes.txt")
+             if os.path.isfile(verb_path) else [])
+    return objs, rels, verbs
+
+
+def get_vocab_dict(annotation_dir: str) -> Tuple[Dict[str, str], ...]:
+    """Tag->name dicts for objects/relationships/verbs
+    (vis_utils.get_vocab_dict:226-254)."""
+    out = []
+    for name in ("object_classes.txt", "relationship_classes.txt",
+                 "verb_classes.txt"):
+        vocab: Dict[str, str] = {}
+        path = os.path.join(annotation_dir, name)
+        if os.path.isfile(path):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip("\n")
+                    if line.strip():
+                        parts = line.split(" ")
+                        vocab[parts[0]] = parts[1] if len(parts) > 1 else ""
+        out.append(vocab)
+    return tuple(out)
 
 
 def create_relationship_data(datums: Iterable[dict]) -> Dict[str, dict]:
