@@ -179,6 +179,18 @@ def run_driver(dataset: str, argv=None) -> dict:
             model=trainer.model, trainable_mask=mask)
         trainer.params = params
         trainer.opt_state = trainer.tx.init(params)
+    if not cfg.from_scratch:
+        # reference default: LXRTFeatureExtraction.from_pretrained
+        # ('bert-base-uncased') (entry.py:155-168).  Zero-egress build: load
+        # from --bertWeights or {dataDir}/pytorch_model.bin when present.
+        bw = extras.get("bert_weights") or os.path.join(
+            cfg.data.data_dir, "pytorch_model.bin")
+        if os.path.isfile(bw):
+            trainer.load_bert_pretrained(bw)
+        else:
+            print(f"no BERT weights at {bw}; encoder stays at scratch init "
+                  "(pass --fromScratch to silence, or fetch per "
+                  "tools/fetch_bert_vocab.py notes)", flush=True)
     if extras.get("load_lxmert"):
         trainer.load_encoder(extras["load_lxmert"])   # --loadLXMERT
     if cfg.load:

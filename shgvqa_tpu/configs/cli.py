@@ -140,6 +140,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(smoke/bench)")
     p.add_argument("--vocab", dest="vocab_path", default=None,
                    help="WordPiece vocab.txt (default: {dataDir}/vocab.txt)")
+    p.add_argument("--bertWeights", dest="bert_weights", default=None,
+                   help="bert-base pytorch_model.bin (or .npz) for the "
+                        "non---fromScratch pretrained load (default: "
+                        "{dataDir}/pytorch_model.bin)")
     return p
 
 
@@ -178,6 +182,11 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         cross_attn_type=ns.cross_attn_type,
         tie_x_layers=not ns.untie_x_layers,
         scan_layers=ns.scan_layers,
+        # caps tokenizer keeps the raw temporal length (no 16->8 conv
+        # compression), so visual_t = clip_len; the reference hardcodes t=8
+        # (modeling_capsbert.py:188-189) and its caps+video path would
+        # mask-mismatch -- here masks and tokens stay consistent
+        visual_t=(cfg.encoder.visual_t if ns.no_caps else ns.clip_len),
     )
     dec = cfg.decoder.__class__(
         num_layers=ns.dlayers,
@@ -271,5 +280,6 @@ def parse_reference_flags_with_extras(argv: Optional[Sequence[str]] = None,
         "vocab_path": ns.vocab_path,
         "tqdm": ns.tqdm,
         "load_lxmert": ns.load_lxmert,
+        "bert_weights": ns.bert_weights,
     }
     return cfg, extras

@@ -74,6 +74,19 @@ def hungarian_set_loss(
         loss = weighted_cross_entropy(logits_f, target_classes, class_weights)
         acc = matched_top1_accuracy(logits_f, target_classes, matched)
     else:
+        if labels.ndim == 3:
+            # driver layout: (B, S, K) per-situation padded labels with
+            # (B, S) lengths.  Whole-clip matching (matcher.py:100-103
+            # concatenates all clip targets): compact valid labels to a
+            # prefix so the fixed-shape solver sees the first `total`
+            # columns as real.
+            bsz, s, k = labels.shape
+            valid = (jnp.arange(k)[None, None, :]
+                     < lengths[:, :, None]).reshape(bsz, s * k)
+            flat = labels.reshape(bsz, s * k)
+            order = jnp.argsort(~valid, axis=-1, stable=True)
+            labels = jnp.take_along_axis(flat, order, axis=-1)
+            lengths = valid.sum(axis=-1).astype(lengths.dtype)
         target_classes, matched = match_targets_global(
             logits, labels, lengths, background_idx=background_idx
         )

@@ -297,6 +297,29 @@ class Trainer:
         # optimizer moments restart (the reference never checkpoints them)
         self.opt_state = self.tx.init(self.params)
 
+    def load_bert_pretrained(self, path: str) -> None:
+        """Non---fromScratch path: overwrite the language tower (embeddings +
+        l-layers + single-CLS pooler) with bert-base weights, replicating the
+        reference's name-matched partial load
+        (modeling_capsbert.py:1654-1785 via entry.py:155-168)."""
+        from shgvqa_tpu.utils.torch_import import (
+            bert_to_lxrt_params,
+            load_torch_state_dict,
+        )
+
+        sd = load_torch_state_dict(path)
+        params = jax.device_get(self.params)
+        key = "lxrt" if "lxrt" in params["params"] else "bert_encoder"
+        sub, report = bert_to_lxrt_params(sd, params["params"][key])
+        params["params"][key] = jax.tree_util.tree_map(jnp.asarray, sub)
+        self.params = params
+        self.metrics.log(
+            f"Loaded BERT pretrained weights from {path} into '{key}': "
+            f"{len(report['loaded'])} tensors"
+            + (f"; skipped {len(report['skipped'])}"
+               if report["skipped"] else ""))
+        self.opt_state = self.tx.init(self.params)
+
     def load(self, name_or_path: str) -> None:
         state = self.ckpt.restore(name_or_path, template=self.state_dict())
         self.params = state["params"]

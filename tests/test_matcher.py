@@ -124,3 +124,42 @@ def test_bitmask_dp_matches_jv_and_scipy(n):
     np.testing.assert_allclose(c_dp, c_sp, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(c_jv, c_sp, rtol=1e-5, atol=1e-5)
     assert sorted(dp.tolist()) == list(range(n))
+
+
+def test_hungarian_set_loss_global_driver_layout():
+    """Without --LossHGPerFrame the driver still passes (B,S,K) labels and
+    (B,S) lengths; the loss must compact them into whole-clip targets
+    (matcher.py:100-103 concatenates all clip targets).  Regression: this
+    crashed with an ndim mismatch before round 2."""
+    from shgvqa_tpu.losses.set_prediction import (
+        empty_weight,
+        hungarian_set_loss,
+    )
+
+    rng = np.random.RandomState(3)
+    b, s, k, c = 2, 4, 3, 9
+    q = s * k
+    logits = rng.randn(b, q, c).astype(np.float32)
+    labels = rng.randint(1, c, (b, s, k)).astype(np.int32)
+    lengths = rng.randint(0, k + 1, (b, s)).astype(np.int32)
+    labels = labels * (np.arange(k)[None, None, :] < lengths[:, :, None])
+
+    w = empty_weight(c, 0.1)
+    out = hungarian_set_loss(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(lengths),
+        w, per_frame=False, num_situations=s)
+    assert np.isfinite(float(out["loss_ce"]))
+
+    # scipy cross-check of the implied matching via the flat equivalent
+    flat, flens = [], []
+    for bi in range(b):
+        v = [labels[bi, si, j] for si in range(s)
+             for j in range(int(lengths[bi, si]))]
+        flens.append(len(v))
+        flat.append(v + [0] * (q - len(v)))
+    out2 = hungarian_set_loss(
+        jnp.asarray(logits), jnp.asarray(np.array(flat, np.int32)),
+        jnp.asarray(np.array(flens, np.int32)),
+        w, per_frame=False, num_situations=s)
+    np.testing.assert_allclose(float(out["loss_ce"]), float(out2["loss_ce"]),
+                               rtol=1e-6)

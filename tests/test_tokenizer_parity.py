@@ -99,6 +99,16 @@ def ref_tok(vocab_file):
 
 @pytest.fixture(scope="module")
 def hf_tok(vocab_file):
+    # other parity tests stub requests/timm/boto3 (bare ModuleTypes with
+    # __spec__=None) for the reference's download paths; transformers'
+    # import machinery probes these and chokes on the stubs -- evict them
+    # (requests is genuinely installed; timm is genuinely absent)
+    for root in ("requests", "timm", "boto3"):
+        mod = sys.modules.get(root)
+        if mod is not None and getattr(mod, "__file__", None) is None:
+            for name in [m for m in sys.modules
+                         if m == root or m.startswith(root + ".")]:
+                del sys.modules[name]
     transformers = pytest.importorskip("transformers")
     return transformers.BertTokenizer(
         vocab_file=vocab_file, do_lower_case=True, do_basic_tokenize=True)
