@@ -179,6 +179,17 @@ def run_driver(dataset: str, argv=None) -> dict:
             model=trainer.model, trainable_mask=mask)
         trainer.params = params
         trainer.opt_state = trainer.tx.init(params)
+    if cfg.task != "q":
+        # pretrained backbone (torch.hub pretrained=True analog); convert
+        # the public SLOW_8x8_R50.pyth once via tools/convert_slow_r50.py
+        bbw = extras.get("backbone_weights") or os.path.join(
+            cfg.data.data_dir, f"{cfg.backbone}_flax.msgpack")
+        if os.path.isfile(bbw):
+            trainer.load_backbone(bbw)
+        else:
+            print(f"no pretrained backbone at {bbw}; backbone stays at "
+                  "random init (convert via tools/convert_slow_r50.py)",
+                  flush=True)
     if not cfg.from_scratch:
         # reference default: LXRTFeatureExtraction.from_pretrained
         # ('bert-base-uncased') (entry.py:155-168).  Zero-egress build: load

@@ -120,19 +120,23 @@ class SlowR50(nn.Module):
     dtype: Dtype = jnp.float32
     depths: Sequence[int] = (3, 4, 6, 3)
     temporal_kernels: Sequence[int] = (1, 1, 3, 3)
+    # width overrides let tests run the exact topology at toy scale
+    stem_width: int = 64
+    mids: Sequence[int] = (64, 128, 256, 512)
+    outs: Sequence[int] = (256, 512, 1024, 2048)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, T, H, W, 3) normalized frames -> (B, T, H/32, W/32, 2048)."""
         dt = self.dtype
         x = x.astype(dt)
-        h = _conv(64, (1, 7, 7), (1, 2, 2), dt, "stem_conv")(x)
-        h = FrozenBatchNorm(64, dtype=dt, name="stem_bn")(h)
+        h = _conv(self.stem_width, (1, 7, 7), (1, 2, 2), dt, "stem_conv")(x)
+        h = FrozenBatchNorm(self.stem_width, dtype=dt, name="stem_bn")(h)
         h = nn.relu(h)
         h = nn.max_pool(h, window_shape=(1, 3, 3), strides=(1, 2, 2),
                         padding=((0, 0), (1, 1), (1, 1)))
-        mids = (64, 128, 256, 512)
-        outs = (256, 512, 1024, 2048)
+        mids = self.mids
+        outs = self.outs
         strides = (1, 2, 2, 2)
         for i in range(4):
             h = ResStage(

@@ -297,6 +297,29 @@ class Trainer:
         # optimizer moments restart (the reference never checkpoints them)
         self.opt_state = self.tx.init(self.params)
 
+    def load_backbone(self, path: str) -> None:
+        """Load converted pretrained backbone weights (params + BatchNorm
+        running stats) from a tools/convert_slow_r50.py msgpack -- the
+        torch.hub ``pretrained=True`` analog (video_encoder.py:43-51)."""
+        from flax.serialization import msgpack_restore
+
+        params = jax.device_get(self.params)
+        if "backbone" not in params["params"]:
+            raise ValueError("model has no backbone subtree (q-only or "
+                             "feature-input model)")
+        with open(path, "rb") as f:
+            tree = msgpack_restore(f.read())
+        params["params"]["backbone"] = jax.tree_util.tree_map(
+            jnp.asarray, tree["params"])
+        if tree.get("batch_stats"):
+            params.setdefault("batch_stats", {})["backbone"] = \
+                jax.tree_util.tree_map(jnp.asarray, tree["batch_stats"])
+        self.params = params
+        n = len(jax.tree_util.tree_leaves(tree))
+        self.metrics.log(f"Loaded pretrained backbone from {path} "
+                         f"({n} tensors incl. BN stats)")
+        self.opt_state = self.tx.init(self.params)
+
     def load_bert_pretrained(self, path: str) -> None:
         """Non---fromScratch path: overwrite the language tower (embeddings +
         l-layers + single-CLS pooler) with bert-base weights, replicating the
