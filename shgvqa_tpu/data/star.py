@@ -180,17 +180,34 @@ class STARItemSource:
         self.frame_loader = frame_loader
         d = cfg.data
         arrange = QA_ARRANGERS[d.qa_arrange_type]
+        self.per_choice = d.qa_arrange_type in ("add_sep", "no_sep")
         texts = []
+        choice_texts = []
         for datum in data.datums:
             choices = self._choices(datum)
             qa = arrange(datum["question"], choices)
             if isinstance(qa, dict):
-                # per-choice arrangement: 4 separate strings; published STAR
-                # recipe uses add_sep_all (one string)
-                qa = " ".join(qa.values())
-            texts.append(qa)
+                # per-choice arrangement: 4 SEPARATE encodings per item
+                # (star_data.py:184-196 qa0..qa3; the reference carries them
+                # through the batch tuple, star.py:212-213, but never
+                # finished consuming them -- here the model scores each)
+                choice_texts.append(
+                    [qa[f"qa{i}"] for i in range(len(qa))])
+                texts.append(datum["question"])  # question-only primary
+            else:
+                texts.append(qa)
         self.text = featurize.encode_questions(
             texts, tokenizer, d.max_seq_length)
+        self.choice_text = None
+        if self.per_choice and choice_texts:
+            n, c = len(choice_texts), len(choice_texts[0])
+            flat = [s for row in choice_texts for s in row]
+            enc = featurize.encode_questions(flat, tokenizer,
+                                             d.max_seq_length)
+            self.choice_text = {
+                k: v.reshape(n, c, d.max_seq_length)
+                for k, v in enc.items()
+            }
 
     @staticmethod
     def _choices(datum: dict) -> Dict[str, str]:
@@ -235,6 +252,10 @@ class STARItemSource:
             "input_mask": self.text["input_mask"][i],
             "segment_ids": self.text["segment_ids"][i],
         }
+        if self.choice_text is not None:
+            item["choice_input_ids"] = self.choice_text["input_ids"][i]
+            item["choice_input_mask"] = self.choice_text["input_mask"][i]
+            item["choice_segment_ids"] = self.choice_text["segment_ids"][i]
         if cfg.task != "q":
             if self.frame_loader is not None:
                 fids = trim_keyframes(datum, d.clip_len)

@@ -113,6 +113,14 @@ class ShgVqaModel(nn.Module):
                 self.logit_fc2 = MLPHead(cfg.num_answers, dtype=_dt(dt))
 
         self.logit_fc = MLPHead(cfg.num_answers, dtype=_dt(dt))
+        # per-choice QA (--qaArrangeType add_sep/no_sep): each (q, choice)
+        # pair is encoded separately and scored with a scalar head; the
+        # reference carries qa0..qa3 through the batch but never wired them
+        # into the model ('we will add choices later', star_data.py:191-196)
+        if task != "q" and cfg.data.qa_arrange_type in ("add_sep", "no_sep"):
+            self.choice_score_fc = MLPHead(1, dtype=_dt(dt))
+            if task == "hgvqa":
+                self.choice_score_fc2 = MLPHead(1, dtype=_dt(dt))
 
     def __call__(self, batch: Dict[str, jnp.ndarray],
                  deterministic: bool = True,
@@ -127,22 +135,42 @@ class ShgVqaModel(nn.Module):
             )
             return {"logit": self.logit_fc(pooled)}
 
+        per_choice = ("choice_input_ids" in batch
+                      and cfg.data.qa_arrange_type in ("add_sep", "no_sep"))
+        if per_choice:
+            # fold the choice axis into batch for the language side; visual
+            # inputs repeat per choice (the visual stream pre-cross is
+            # choice-independent and is deduplicated again below)
+            bsz, nch, lt = batch["choice_input_ids"].shape
+            ids = batch["choice_input_ids"].reshape(bsz * nch, lt)
+            imask = batch["choice_input_mask"].reshape(bsz * nch, lt)
+            seg = batch["choice_segment_ids"].reshape(bsz * nch, lt)
+            vfeats = jnp.repeat(batch["visual_feats"], nch, axis=0)
+            vmask = batch.get("visual_mask")
+            if vmask is not None:
+                vmask = jnp.repeat(vmask, nch, axis=0)
+        else:
+            ids = batch["input_ids"]
+            imask = batch["input_mask"]
+            seg = batch.get("segment_ids")
+            vfeats = batch["visual_feats"]
+            vmask = batch.get("visual_mask")
+
         attentions = {}
         if output_attentions:
             (pooled, lang, visn, lang_snap, visn_snap, lang_ext,
              enc_attn) = self.lxrt(
-                batch["input_ids"], batch["input_mask"],
-                batch.get("segment_ids"), batch["visual_feats"],
-                batch.get("visual_mask"), deterministic, True,
+                ids, imask, seg, vfeats, vmask, deterministic, True,
             )
             attentions["encoder"] = enc_attn
         else:
             pooled, lang, visn, lang_snap, visn_snap, lang_ext = self.lxrt(
-                batch["input_ids"], batch["input_mask"],
-                batch.get("segment_ids"), batch["visual_feats"],
-                batch.get("visual_mask"), deterministic,
+                ids, imask, seg, vfeats, vmask, deterministic,
             )
-        logit = self.logit_fc(pooled)
+        if per_choice:
+            logit = self.choice_score_fc(pooled).reshape(bsz, nch)
+        else:
+            logit = self.logit_fc(pooled)
         if task == "vqa":
             return {"logit": logit}
 
@@ -150,6 +178,10 @@ class ShgVqaModel(nn.Module):
         # (agqa_model.py:215-218)
         memory = visn if cfg.after_cross_attn_feats else visn_snap
         lang_feats = lang if cfg.after_cross_attn_feats else lang_snap
+        if per_choice:
+            # the pre-cross visual snapshot is identical across a clip's
+            # choices: decode the hypergraph ONCE per clip
+            memory = memory.reshape(bsz, nch, *memory.shape[1:])[:, 0]
 
         b = memory.shape[0]
         s = cfg.data.num_situations
@@ -188,6 +220,11 @@ class ShgVqaModel(nn.Module):
         ).reshape(b, -1, d)
 
         hg_mask = batch.get("hg_mask") if cfg.use_hg_mask else None
+        if per_choice:
+            # question<->hypergraph cross-attention runs per (q, choice)
+            hg_in = jnp.repeat(hg_in, nch, axis=0)
+            if hg_mask is not None:
+                hg_mask = jnp.repeat(hg_mask, nch, axis=0)
         if output_attentions:
             x_hg, hgq_attn = self.hgq_encoder(lang_feats, lang_ext, hg_in,
                                               hg_mask, deterministic, True)
@@ -195,7 +232,13 @@ class ShgVqaModel(nn.Module):
         else:
             x_hg = self.hgq_encoder(lang_feats, lang_ext, hg_in, hg_mask,
                                     deterministic)
-        if task == "hgvqa":
+        if per_choice:
+            if task == "hgvqa":
+                hg_logit = self.choice_score_fc2(jnp.concatenate(
+                    [pooled, x_hg], axis=-1)).reshape(bsz, nch)
+            else:
+                hg_logit = self.choice_score_fc(x_hg).reshape(bsz, nch)
+        elif task == "hgvqa":
             hg_logit = self.logit_fc2(
                 jnp.concatenate([pooled, x_hg], axis=-1))
         else:

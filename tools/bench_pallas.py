@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Validate + microbenchmark the Pallas fused attention ON the real TPU.
+
+Round-1 gap (VERDICT weak #2): the kernel was only ever run in interpret
+mode on CPU.  This tool runs it on the actual accelerator at every shape the
+model uses, checks numerics against the jnp reference path on-chip, and
+times both with the relay-safe protocol (enqueue N iterations, fetch one
+scalar).
+
+Prints one JSON line per shape:
+  {"shape": ..., "max_err": ..., "pallas_ms": ..., "jnp_ms": ..., "speedup": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def jnp_attention(q, k, v, mask):
+    import jax
+    import jax.numpy as jnp
+
+    d = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (d ** 0.5)
+    scores = scores.astype(jnp.float32)
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from shgvqa_tpu.kernels.attention import fused_attention
+
+    b = int(os.environ.get("SHGVQA_PALLAS_BATCH", "32"))
+    h, d = 12, 64
+    # (Lq, Lk): text self 40x40, visual self 393x393, HG cross 177x40-ish,
+    # decoder self 128x128, decoder cross 128x393
+    shapes = [(40, 40), (393, 393), (177, 177), (128, 128), (128, 393)]
+    dtype = jnp.bfloat16
+    iters = int(os.environ.get("SHGVQA_PALLAS_ITERS", "30"))
+
+    fused = jax.jit(lambda q, k, v, m: fused_attention(q, k, v, m))
+    ref = jax.jit(jnp_attention)
+
+    for lq, lk in shapes:
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(b, h, lq, d), dtype)
+        k = jnp.asarray(rng.randn(b, h, lk, d), dtype)
+        v = jnp.asarray(rng.randn(b, h, lk, d), dtype)
+        mask = jnp.asarray(
+            np.where(rng.rand(b, 1, 1, lk) < 0.1, -10000.0, 0.0), jnp.float32)
+        q, k, v, mask = jax.device_put((q, k, v, mask))
+
+        out_p = fused(q, k, v, mask)
+        out_r = ref(q, k, v, mask)
+        err = float(jnp.max(jnp.abs(
+            out_p.astype(jnp.float32) - out_r.astype(jnp.float32))))
+
+        def timeit(fn):
+            _ = float(fn(q, k, v, mask)[0, 0, 0, 0])  # warm
+            t0 = time.perf_counter()
+            outs = [fn(q, k, v, mask) for _ in range(iters)]
+            _ = float(outs[-1][0, 0, 0, 0])           # one fetch drains
+            return (time.perf_counter() - t0) / iters * 1000
+
+        p_ms = timeit(fused)
+        r_ms = timeit(ref)
+        print(json.dumps({
+            "shape": f"b{b} h{h} {lq}x{lk} d{d} {dtype.dtype.name}",
+            "max_err": round(err, 5),
+            "pallas_ms": round(p_ms, 3),
+            "jnp_ms": round(r_ms, 3),
+            "speedup": round(r_ms / p_ms, 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
