@@ -59,6 +59,26 @@ def build_data(cfg: Config, extras: dict, split: str):
     return AGQAData.from_files(cfg, split)
 
 
+def make_frame_loader(cfg: Config, frame_ids: dict, extras: dict):
+    """Real-frame loader: the native C++ decoder (threaded libpng) when it
+    builds, PIL otherwise.  --frameLoader native|pil forces one."""
+    kind = extras.get("frame_loader") or "auto"
+    if kind in ("auto", "native"):
+        from shgvqa_tpu.data import native_loader
+
+        if native_loader.get_lib() is not None:
+            return native_loader.NativeFrameLoader(
+                cfg.data.frame_dir, frame_ids, cfg.data.clip_len,
+                cfg.data.image_size, threads=cfg.data.num_workers)
+        if kind == "native":
+            raise RuntimeError(
+                "--frameLoader native requested but the C++ decoder did "
+                "not build (g++/libpng missing?)")
+        print("native frame decoder unavailable; using PIL", flush=True)
+    return FrameLoader(cfg.data.frame_dir, frame_ids, cfg.data.clip_len,
+                       cfg.data.image_size)
+
+
 def build_item_source(cfg: Config, extras: dict, data, tokenizer,
                       test_mode: bool = False):
     needs_video = cfg.task != "q"
@@ -72,15 +92,10 @@ def build_item_source(cfg: Config, extras: dict, data, tokenizer,
                 base = loader
                 loader = lambda vid, fids=None: base(vid)  # noqa: E731
         elif cfg.data.dataset == "star":
-            agqa_like = FrameLoader(cfg.data.frame_dir, {}, cfg.data.clip_len,
-                                    cfg.data.image_size)
-
-            def loader(vid, fids):  # STAR passes explicit keyframes
-                agqa_like.frame_ids = {vid: fids}
-                return agqa_like(vid)
+            # STAR passes explicit keyframes per question (star_data:199-205)
+            loader = make_frame_loader(cfg, {}, extras)
         else:
-            loader = FrameLoader(cfg.data.frame_dir, data.frame_ids,
-                                 cfg.data.clip_len, cfg.data.image_size)
+            loader = make_frame_loader(cfg, data.frame_ids, extras)
     if cfg.data.dataset == "star":
         return STARItemSource(data, tokenizer, cfg, loader, test_mode)
     return AGQAItemSource(data, tokenizer, cfg, loader, test_mode)

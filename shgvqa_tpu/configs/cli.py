@@ -144,6 +144,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bert-base pytorch_model.bin (or .npz) for the "
                         "non---fromScratch pretrained load (default: "
                         "{dataDir}/pytorch_model.bin)")
+    p.add_argument("--frameLoader", dest="frame_loader", default="auto",
+                   choices=["auto", "native", "pil"],
+                   help="frame decoder: native C++ (threaded libpng) with "
+                        "PIL fallback (auto), or force one")
     p.add_argument("--backboneWeights", dest="backbone_weights", default=None,
                    help="converted backbone msgpack "
                         "(tools/convert_slow_r50.py; default: "
@@ -286,5 +290,6 @@ def parse_reference_flags_with_extras(argv: Optional[Sequence[str]] = None,
         "load_lxmert": ns.load_lxmert,
         "bert_weights": ns.bert_weights,
         "backbone_weights": ns.backbone_weights,
+        "frame_loader": ns.frame_loader,
     }
     return cfg, extras

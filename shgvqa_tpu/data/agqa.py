@@ -208,10 +208,10 @@ class FrameLoader:
         self.clip_len = clip_len
         self.image_size = image_size
 
-    def __call__(self, vid: str) -> np.ndarray:
+    def __call__(self, vid: str, fids=None) -> np.ndarray:
         from PIL import Image
 
-        fids = self.frame_ids[vid]
+        fids = fids if fids is not None else self.frame_ids[vid]
         idx = featurize.uniform_subsample_indices(len(fids), self.clip_len)
         frames = []
         for i in idx:

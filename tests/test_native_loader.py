@@ -82,3 +82,81 @@ def test_grayscale_and_palette_pngs(tmp_path):
     out = native_loader.decode_clip([str(gray_p), str(pal_p)], 20, 20)
     np.testing.assert_array_equal(out[0, :, :, 0], gray)
     np.testing.assert_array_equal(out[0, :, :, 1], gray)
+
+
+def test_make_frame_loader_wiring(tmp_path, monkeypatch):
+    """cli.common.make_frame_loader: native by default when the .so builds,
+    PIL when forced, RuntimeError when native forced but unavailable."""
+    from shgvqa_tpu.cli.common import make_frame_loader
+    from shgvqa_tpu.configs.config import tiny_test_config
+    from shgvqa_tpu.data import native_loader
+    from shgvqa_tpu.data.agqa import FrameLoader
+    from shgvqa_tpu.data.native_loader import NativeFrameLoader
+
+    cfg = tiny_test_config()
+
+    if native_loader.get_lib() is not None:
+        loader = make_frame_loader(cfg, {}, {"frame_loader": "auto"})
+        assert isinstance(loader, NativeFrameLoader)
+
+    loader = make_frame_loader(cfg, {}, {"frame_loader": "pil"})
+    assert isinstance(loader, FrameLoader)
+
+    monkeypatch.setattr(native_loader, "get_lib", lambda: None)
+    loader = make_frame_loader(cfg, {}, {"frame_loader": "auto"})
+    assert isinstance(loader, FrameLoader)
+    with pytest.raises(RuntimeError, match="native"):
+        make_frame_loader(cfg, {}, {"frame_loader": "native"})
+
+
+def test_native_and_pil_loaders_agree(tmp_path):
+    """Drop-in equivalence on real PNGs at the dataset layout, including the
+    STAR explicit-fids path."""
+    from PIL import Image
+
+    from shgvqa_tpu.data.agqa import FrameLoader
+    from shgvqa_tpu.data.native_loader import NativeFrameLoader, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native decoder unavailable")
+
+    vid = "VIDX"
+    d = tmp_path / f"{vid}.mp4"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    fids = []
+    for i in range(6):
+        fid = f"{i:06d}"
+        img = rng.randint(0, 255, (32, 48, 3), np.uint8)
+        Image.fromarray(img).save(d / f"{fid}.png")
+        fids.append(fid)
+
+    ids = {vid: fids}
+    nat = NativeFrameLoader(str(tmp_path), ids, clip_len=4, image_size=32)
+    pil = FrameLoader(str(tmp_path), ids, clip_len=4, image_size=32)
+    a, b = nat(vid), pil(vid)
+    assert a.shape == b.shape == (4, 32, 32, 3)
+
+    # the native resize matches the REFERENCE's semantics (pytorchvideo
+    # Resize -> torch bilinear interpolate WITHOUT antialias,
+    # data_transforms.py:70-77) to sub-LSB accuracy; PIL's bilinear
+    # antialiases on downscale and is the known-divergent fallback
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from shgvqa_tpu.data.featurize import uniform_subsample_indices
+
+    raw = []
+    idx = [int(i) for i in uniform_subsample_indices(6, 4)]
+    from PIL import Image as _I
+    for i in idx:
+        with _I.open(d / f"{fids[i]}.png") as im:
+            raw.append(np.asarray(im.convert("RGB"), np.uint8))
+    t = torch.tensor(np.stack(raw).transpose(0, 3, 1, 2).astype(np.float32))
+    ref = F.interpolate(t, size=(32, 32), mode="bilinear",
+                        antialias=False).permute(0, 2, 3, 1).numpy()
+    assert np.abs(a.astype(np.float32) - ref).mean() < 1.0
+
+    a2 = nat(vid, fids[:4])
+    b2 = pil(vid, fids[:4])
+    assert a2.shape == b2.shape
