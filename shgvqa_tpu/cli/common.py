@@ -114,6 +114,10 @@ def make_model(cfg: Config, has_frames: bool):
 def run_driver(dataset: str, argv=None) -> dict:
     """Full train/valid/test orchestration; returns a result summary."""
     cfg, extras = parse_reference_flags_with_extras(argv, dataset=dataset)
+    # multi-host: must run before any other jax use (no-op single-host)
+    from shgvqa_tpu.parallel.distributed import maybe_initialize_distributed
+
+    multi_host = maybe_initialize_distributed()
     import jax
 
     from shgvqa_tpu.utils.compilation_cache import enable_compilation_cache
@@ -121,7 +125,9 @@ def run_driver(dataset: str, argv=None) -> dict:
     enable_compilation_cache()
 
     print(f"shgvqa_tpu {dataset} driver: task={cfg.task} devices="
-          f"{jax.device_count()}", flush=True)
+          f"{jax.device_count()}"
+          + (f" processes={jax.process_count()}" if multi_host else ""),
+          flush=True)
 
     results: dict = {"task": cfg.task}
     test_split = cfg.data.test_split

@@ -47,10 +47,26 @@ def maybe_initialize_distributed(
 
 def process_batch_slice(global_batch_size: int) -> slice:
     """Each host feeds its shard of the global batch; with B hosts and batch
-    G, host i owns rows [i*G/B, (i+1)*G/B)."""
+    G, host i owns rows [i*G/B, (i+1)*G/B).
+
+    Raises on non-divisible sizes instead of silently truncating -- pjit
+    global-array construction needs equal per-host shards; pad the global
+    batch first (``pad_to_multiple``)."""
     import jax
 
     n = jax.process_count()
     i = jax.process_index()
+    if global_batch_size % n != 0:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by "
+            f"{n} processes; pad with pad_to_multiple() first")
     per = global_batch_size // n
     return slice(i * per, (i + 1) * per)
+
+
+def pad_to_multiple(batch_size: int, n: Optional[int] = None) -> int:
+    """Smallest batch size >= batch_size divisible by the process count."""
+    import jax
+
+    n = n or jax.process_count()
+    return ((batch_size + n - 1) // n) * n

@@ -1,0 +1,121 @@
+"""Multi-host path coverage (parallel/distributed.py).
+
+Unit tests mock jax.process_count/index for the host-shard arithmetic; the
+slow test brings up a REAL 2-process jax.distributed CPU cluster in
+subprocesses and runs a cross-host psum through a global mesh -- the closest
+a single box gets to multi-host (the reference has no multi-node story at
+all, SURVEY.md §2.6)."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_single_host_is_noop(monkeypatch):
+    from shgvqa_tpu.parallel.distributed import maybe_initialize_distributed
+
+    for var in ("SHGVQA_COORDINATOR", "SHGVQA_NUM_PROCESSES",
+                "SHGVQA_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert maybe_initialize_distributed() is False
+
+
+def test_process_batch_slice_shards(monkeypatch):
+    import jax
+
+    from shgvqa_tpu.parallel import distributed as dist
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(jax, "process_index", lambda: 2)
+    assert dist.process_batch_slice(32) == slice(16, 24)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    assert dist.process_batch_slice(32) == slice(0, 8)
+
+
+def test_process_batch_slice_rejects_non_divisible(monkeypatch):
+    import jax
+
+    from shgvqa_tpu.parallel import distributed as dist
+
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    with pytest.raises(ValueError, match="not divisible"):
+        dist.process_batch_slice(32)
+    assert dist.pad_to_multiple(32) == 33
+    assert dist.pad_to_multiple(33) == 33
+    assert dist.pad_to_multiple(7, n=4) == 8
+
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    import numpy as np
+    sys.path.insert(0, __REPO__)
+    from shgvqa_tpu.parallel.distributed import (
+        maybe_initialize_distributed, process_batch_slice)
+    assert maybe_initialize_distributed() is True
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    assert jax.process_count() == 2
+    n_global = jax.device_count()
+    assert n_global == 4, n_global  # 2 local cpu devices per process
+
+    # global batch 8, each host feeds its 4 rows
+    G = 8
+    sl = process_batch_slice(G)
+    host_rows = np.arange(G, dtype=np.float32)[sl]
+    mesh = Mesh(np.array(jax.devices()).reshape(n_global), ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+    garr = jax.make_array_from_process_local_data(
+        sharding, host_rows.reshape(-1, 1), (G, 1))
+    total = jax.jit(
+        lambda x: jnp.sum(x), out_shardings=NamedSharding(mesh, P()))(garr)
+    expected = float(np.arange(G).sum())
+    assert float(total) == expected, (float(total), expected)
+    print(f"proc {jax.process_index()} OK total={float(total)}", flush=True)
+""").replace("__REPO__", repr(REPO))
+
+
+@pytest.mark.slow
+def test_two_process_distributed_cpu(tmp_path):
+    port = _free_port()
+    env_base = {
+        k: v for k, v in os.environ.items()
+        if not k.startswith("PALLAS_AXON")
+    }
+    env_base.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "SHGVQA_COORDINATOR": f"127.0.0.1:{port}",
+        "SHGVQA_NUM_PROCESSES": "2",
+    })
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    procs = []
+    for i in range(2):
+        env = dict(env_base, SHGVQA_PROCESS_ID=str(i))
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert "OK total=28.0" in out
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
