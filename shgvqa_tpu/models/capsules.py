@@ -64,6 +64,13 @@ class EMRouting(nn.Module):
     iters: int = 3
     eps: float = 1e-8
     final_lambda: float = 1e-2
+    # 'hinton': the matrix-capsule paper procedure with a scheduled lambda
+    #   (documented divergence -- the repo default).
+    # 'reference': bit-faithful capsules_new_3d.py:189-295 math, including
+    #   its quirks: beta_u per (C_out, P*P), fixed lambda 1e-6, double
+    #   r-normalization, and the cost-stdv term that is identically
+    #   sqrt(eps) because sum(cost - mean) == 0 before squaring (:226-233).
+    variant: str = "hinton"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -74,13 +81,22 @@ class EMRouting(nn.Module):
         n, c_in, p2 = poses.shape
         p = self.pose_dim
         w = self.param("w", bert_kernel_init, (c_in, self.c_out, p, p))
-        beta_u = self.param("beta_u", nn.initializers.zeros, (self.c_out,))
+        beta_shape = (self.c_out, p2) if self.variant == "reference" \
+            else (self.c_out,)
+        beta_u = self.param("beta_u", nn.initializers.zeros, beta_shape)
         beta_a = self.param("beta_a", nn.initializers.zeros, (self.c_out,))
 
         # votes: (N, C_in, C_out, P*P) — pose matrix times transform matrix
+        # (capsules_new_3d.py transform_view: x @ w)
         pm = poses.reshape(n, c_in, p, p).astype(jnp.float32)
         votes = jnp.einsum("nipq,ijqr->nijpr", pm, w.astype(jnp.float32))
         votes = votes.reshape(n, c_in, self.c_out, p2)
+
+        if self.variant == "reference":
+            mu, a_out = _em_routing_reference(
+                votes, acts.astype(jnp.float32), beta_u, beta_a,
+                iters=self.iters, eps=self.eps)
+            return mu.astype(self.dtype), a_out.astype(self.dtype)
 
         a_in = acts.astype(jnp.float32)[:, :, None]          # (N, C_in, 1)
         r = jnp.full((n, c_in, self.c_out), 1.0 / self.c_out)
@@ -112,6 +128,55 @@ class EMRouting(nn.Module):
                 r = jax.nn.softmax(log_ra, axis=-1)
 
         return mu.astype(self.dtype), a_out.astype(self.dtype)
+
+
+def _em_routing_reference(votes, a_in, beta_u, beta_a, iters=3, eps=1e-8,
+                          lam=1e-6):
+    """Exact reimplementation of ConvCaps.caps_em_routing
+    (capsules_new_3d.py:189-295), quirks preserved:
+
+    - r is renormalized over OUTPUT capsules after multiplying input
+      activations (m_step:210-211), then again over inputs via coeff;
+    - cost uses log(sigma) (i.e. 0.5*log sigma^2) with beta_u per
+      (C_out, P*P);
+    - a_out normalizes cost by a 'stdv' that is sqrt(sum(cost - mean))^2/C
+      with the sum taken BEFORE squaring -- identically sqrt(eps) -- and a
+      fixed lambda of 1e-6 (:176, :226-233);
+    - e-step is the standard Gaussian responsibility update.
+
+    votes (N, B, C, P*P), a_in (N, B) -> mu (N, C, P*P), a_out (N, C).
+    """
+    n, b_in, c, p2 = votes.shape
+    ln_2pi = jnp.log(2 * jnp.pi)
+    r = jnp.full((n, b_in, c), 1.0 / c)
+    a3 = a_in[:, :, None]
+    mu = jnp.zeros((n, 1, c, p2))
+    sigma_sq = jnp.ones((n, 1, c, p2))
+    a_out = jnp.zeros((n, c))
+    for it in range(iters):
+        rw = r * a3
+        rw = rw / (jnp.sum(rw, axis=2, keepdims=True) + eps)
+        r_sum = jnp.sum(rw, axis=1, keepdims=True)           # (N, 1, C)
+        coeff = (rw / (r_sum + eps))[..., None]              # (N, B, C, 1)
+        mu = jnp.sum(coeff * votes, axis=1, keepdims=True)   # (N, 1, C, P*P)
+        sigma_sq = jnp.sum(coeff * (votes - mu) ** 2, axis=1,
+                           keepdims=True) + eps
+        cost_h = (beta_u[None] + jnp.log(jnp.sqrt(
+            sigma_sq.reshape(n, c, p2)))) * r_sum.reshape(n, c, 1)
+        cost_h = jnp.sum(cost_h, axis=2)                     # (N, C)
+        cost_mean = jnp.mean(cost_h, axis=1, keepdims=True)
+        cost_stdv = jnp.sqrt(
+            jnp.sum(cost_h - cost_mean, axis=1, keepdims=True) ** 2 / c
+            + eps)
+        a_out = jax.nn.sigmoid(
+            lam * (beta_a[None] - (cost_mean - cost_h) / (cost_stdv + eps)))
+        if it < iters - 1:
+            ln_p = (-((votes - mu) ** 2) / (2 * sigma_sq)
+                    - jnp.log(jnp.sqrt(sigma_sq)) - 0.5 * ln_2pi)
+            ln_ap = jnp.sum(ln_p, axis=3) + jnp.log(
+                eps + a_out[:, None, :])
+            r = jax.nn.softmax(ln_ap, axis=2)
+    return mu.reshape(n, c, p2), a_out
 
 
 class CapsuleVisualTokenizer(nn.Module):
