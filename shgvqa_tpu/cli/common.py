@@ -8,6 +8,7 @@ task/dataset binding that accepts the reference's flags.
 
 from __future__ import annotations
 
+import json
 import os
 import zlib
 from typing import Optional, Tuple
@@ -287,10 +288,21 @@ def report_test(cfg: Config, data, q2a, hg_q2a) -> dict:
     return out
 
 
+# which cross-stream attention the reference dumps per variant
+# (agqaHGQA.py:35-40 attn_idx: 2 = lang->visn cross, 4 = joint self)
+_ATTN_STREAM = {"cross": "xl", "old": "xl", "self": "vl", "cross_self": "vl"}
+
+
 def _dump_attentions(cfg: Config, trainer: Trainer, batcher: Batcher,
                      max_batches: int = 4) -> None:
-    """--outputAttn: save attention maps for the first few eval batches
-    (the reference dumps attention during predict, star.py:540-547)."""
+    """--outputAttn: reference-style per-question attention dumps during
+    predict (agqaHGQA.py:561-605) plus full npz maps.
+
+    Per question, the dumped "attention" is the CLS-query row of the LAST
+    cross-layer's selected stream ([:, :, 0, :] over heads) exactly like
+    ``attn_probs[attn_idx[type]][-1]['attn'][:, :, 0, :]`` -- except sliced
+    to the question's own batch row (the reference attaches the whole
+    batch's scores to every result, a documented bug)."""
     import jax
 
     model = trainer.model
@@ -298,14 +310,35 @@ def _dump_attentions(cfg: Config, trainer: Trainer, batcher: Batcher,
         p, b, deterministic=True, output_attentions=True))
     out_dir = os.path.join(cfg.output, "attentions")
     os.makedirs(out_dir, exist_ok=True)
+    stream = _ATTN_STREAM[cfg.encoder.cross_attn_type]
+    results = []
     for bi, batch in enumerate(batcher.epoch(0)):
         if bi >= max_batches:
             break
         batch = dict(batch)
         qids = batch.pop("ques_id")
-        batch.pop("n_valid", None)
+        n_valid = batch.pop("n_valid", len(qids))
         out = attn_fn(trainer.params, batch)
         attn = jax.device_get(out.get("attentions", {}))
+
+        # per-question CLS-row scores from the last cross layer
+        cross_layers = (attn.get("encoder") or {}).get("cross") or []
+        cls_rows = None
+        if cross_layers and cross_layers[-1] and stream in cross_layers[-1]:
+            last = np.asarray(cross_layers[-1][stream])  # (B, H, Lq, Lk)
+            cls_rows = last[:, :, 0, :]
+        preds = np.asarray(
+            jax.device_get(out.get("hg_logit", out["logit"])))
+        if preds.ndim > 1:
+            preds = preds.argmax(-1)
+        for i, qid in enumerate(qids[:n_valid]):
+            results.append({
+                "questionId": qid,
+                "prediction": int(preds[i]),
+                "attention": (cls_rows[i].tolist()
+                              if cls_rows is not None else []),
+            })
+
         flat = {}
 
         def add(prefix, obj):
@@ -325,7 +358,10 @@ def _dump_attentions(cfg: Config, trainer: Trainer, batcher: Batcher,
             np.savez_compressed(
                 os.path.join(out_dir, f"batch{bi:03d}.npz"),
                 ques_ids=np.asarray(qids), **flat)
-    print(f"attention dumps written to {out_dir}", flush=True)
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(results, f)
+    print(f"attention dumps written to {out_dir} "
+          f"({len(results)} questions)", flush=True)
 
 
 def _example_from(batcher: Batcher):
