@@ -74,12 +74,14 @@ class Embed(nn.Module):
         table = self.param(
             "embedding", init, (self.num_embeddings, self.features)
         )
+        if ids is None:
+            # full-table read (HGEmbeddings weight-matrix-as-queries,
+            # modeling_capsbert.py:319): torch padding_idx only masks
+            # gradients of LOOKUPS -- direct .weight use trains row 0 too
+            return table.astype(self.dtype)
         if self.freeze_pad_idx:
             table = table.at[0].set(jax.lax.stop_gradient(table[0]))
-        table = table.astype(self.dtype)
-        if ids is None:
-            return table
-        return jnp.take(table, ids, axis=0)
+        return jnp.take(table.astype(self.dtype), ids, axis=0)
 
 
 class LayerNorm(nn.Module):

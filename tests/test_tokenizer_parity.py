@@ -103,7 +103,7 @@ def hf_tok(vocab_file):
     # __spec__=None) for the reference's download paths; transformers'
     # import machinery probes these and chokes on the stubs -- evict them
     # (requests is genuinely installed; timm is genuinely absent)
-    for root in ("requests", "timm", "boto3"):
+    for root in ("requests", "timm", "boto3", "torchvision"):
         mod = sys.modules.get(root)
         if mod is not None and getattr(mod, "__file__", None) is None:
             for name in [m for m in sys.modules
