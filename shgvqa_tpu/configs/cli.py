@@ -144,6 +144,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bert-base pytorch_model.bin (or .npz) for the "
                         "non---fromScratch pretrained load (default: "
                         "{dataDir}/pytorch_model.bin)")
+    # LXMERT pretraining flags (param.py:106-116, verbatim spellings)
+    p.add_argument("--taskMatched", dest="task_matched", action="store_true")
+    p.add_argument("--taskMaskLM", dest="task_mask_lm", action="store_true")
+    p.add_argument("--taskObjPredict", dest="task_obj_predict",
+                   action="store_true")
+    p.add_argument("--taskQA", dest="task_qa_pretrain", action="store_true")
+    p.add_argument("--taskContrastive", dest="task_contrastive",
+                   action="store_true")
+    p.add_argument("--visualLosses", dest="visual_losses",
+                   default="obj,attr,feat")
+    p.add_argument("--qaSets", dest="qa_sets", default=None)
+    p.add_argument("--wordMaskRate", dest="word_mask_rate", type=float,
+                   default=0.15)
+    p.add_argument("--objMaskRate", dest="obj_mask_rate", type=float,
+                   default=0.15)
     p.add_argument("--frameLoader", dest="frame_loader", default="auto",
                    choices=["auto", "native", "pil"],
                    help="frame decoder: native C++ (threaded libpng) with "
@@ -291,5 +306,16 @@ def parse_reference_flags_with_extras(argv: Optional[Sequence[str]] = None,
         "bert_weights": ns.bert_weights,
         "backbone_weights": ns.backbone_weights,
         "frame_loader": ns.frame_loader,
+        "pretrain": {
+            "task_matched": ns.task_matched,
+            "task_mask_lm": ns.task_mask_lm,
+            "task_obj_predict": ns.task_obj_predict,
+            "task_qa": ns.task_qa_pretrain,
+            "task_contrastive": ns.task_contrastive,
+            "visual_losses": ns.visual_losses,
+            "qa_sets": ns.qa_sets,
+            "word_mask_rate": ns.word_mask_rate,
+            "obj_mask_rate": ns.obj_mask_rate,
+        },
     }
     return cfg, extras

@@ -59,12 +59,17 @@ class PretrainingHeads(nn.Module):
     def __call__(self, lang_feats: jnp.ndarray, pooled: jnp.ndarray,
                  word_embedding_table: jnp.ndarray
                  ) -> Dict[str, jnp.ndarray]:
+        from shgvqa_tpu.models.layers import MLPHead
+
         lm_logits = LMPredictionHead(dtype=self.dtype, name="lm_head")(
             lang_feats, word_embedding_table)
         matched_logits = Dense(2, dtype=self.dtype,
                                name="seq_relationship")(pooled)
-        qa_logits = Dense(self.num_answers, dtype=self.dtype,
-                          name="qa_head")(pooled)
+        # same MLP shape as the fine-tune logit_fc (the reference's
+        # answer_head.logit_fc, qa_answer_table.py:118-124) so the final
+        # layer's rows are surgically transplantable per answer
+        qa_logits = MLPHead(self.num_answers, dtype=self.dtype,
+                            name="qa_head")(pooled)
         return {
             "lm_logits": lm_logits,
             "matched_logits": matched_logits,
@@ -148,6 +153,76 @@ def mask_visual_feats(feats: np.ndarray, rate: float = 0.15,
     out = feats.copy()
     out[mask] = 0.0
     return out, mask
+
+
+class LxmertPretrainModel(nn.Module):
+    """LXRT encoder + pretraining heads (LXRTPretraining,
+    modeling_capsbert.py:1968-2125).
+
+    The masked-LM decoder is TIED to the word-embedding table; callers pass
+    the table extracted from the same param tree so gradients flow to the
+    shared tensor (``params['params']['lxrt']['embeddings']
+    ['word_embeddings']['embedding']``).  The encoder subtree is named
+    ``lxrt`` so snapshots interoperate with ``Trainer.load_encoder`` /
+    ``--loadLXMERT``.
+    """
+
+    cfg: Any     # shgvqa_tpu.configs.config.Config
+    num_answers: int = 2
+
+    def setup(self):
+        from shgvqa_tpu.models.encoder import LXRTModel
+
+        self.lxrt = LXRTModel(self.cfg.encoder, self.cfg.compute_dtype)
+        self.heads = PretrainingHeads(num_answers=self.num_answers)
+        d = self.cfg.encoder
+        self.visn_head = Dense(d.visual_feat_dim, name="visn_head")
+
+    def __call__(self, batch: Dict[str, jnp.ndarray],
+                 word_table: jnp.ndarray,
+                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        pooled, lang, visn, _, _, _ = self.lxrt(
+            batch["input_ids"], batch["input_mask"],
+            batch.get("segment_ids"), batch["visual_feats"],
+            batch.get("visual_mask"), deterministic,
+        )
+        out = self.heads(lang, pooled, word_table)
+        # visual-feature regression head over the non-CLS tokens
+        out["visn_pred"] = self.visn_head(visn[:, 1:])
+        out["pooled"] = pooled
+        out["lang_cls"] = lang[:, 0]
+        return out
+
+
+def answer_head_surgery(
+    ans_weight: np.ndarray,     # pretraining head (n_pretrain_ans, d)
+    ans_bias: np.ndarray,       # (n_pretrain_ans,)
+    model_weight: np.ndarray,   # fine-tune head   (n_labels, d)
+    model_bias: np.ndarray,     # (n_labels,)
+    label2ans: Dict[int, str],
+    table: "AnswerTable",
+) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """load_lxmert_qa answer-head surgery (qa_answer_table.py:118-143):
+    for each fine-tune label whose normalized answer exists in the
+    pretraining answer table, copy that row of the pretrained head; rows
+    for unseen answers are ZEROED (not left at init).  Returns
+    (new_weight, new_bias, loaded, unloaded)."""
+    new_w = np.array(model_weight, copy=True)
+    new_b = np.array(model_bias, copy=True)
+    if isinstance(label2ans, (list, tuple)):
+        label2ans = dict(enumerate(label2ans))
+    loaded = unloaded = 0
+    for label, ans in label2ans.items():
+        idx = table.convert(ans)
+        if idx >= 0:
+            new_w[label] = ans_weight[idx]
+            new_b[label] = ans_bias[idx]
+            loaded += 1
+        else:
+            new_w[label] = 0.0
+            new_b[label] = 0.0
+            unloaded += 1
+    return new_w, new_b, loaded, unloaded
 
 
 class AnswerTable:

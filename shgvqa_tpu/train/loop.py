@@ -320,6 +320,31 @@ class Trainer:
                          f"({n} tensors incl. BN stats)")
         self.opt_state = self.tx.init(self.params)
 
+    def load_lxmert_qa(self, path: str, label2ans) -> None:
+        """load_lxmert_qa (qa_answer_table.py:84-158): restore an LXMERT
+        pretraining snapshot's encoder AND initialize the fine-tune answer
+        head from the pretraining QA head by answer-string matching; labels
+        whose answers were not pretrained get ZEROED rows."""
+        from shgvqa_tpu.models.pretrain import AnswerTable, answer_head_surgery
+
+        self.load_encoder(path)
+        base = path[:-len("_LXRT")] if path.endswith("_LXRT") else path
+        qa = np.load(base + "_qa_head.npz", allow_pickle=True)
+        table = AnswerTable([str(a) for a in qa["answers"]])
+        params = jax.device_get(self.params)
+        head = params["params"]["logit_fc"]["fc2"]["Dense_0"]
+        new_w, new_b, loaded, unloaded = answer_head_surgery(
+            qa["weight"], qa["bias"],
+            np.asarray(head["kernel"]).T, np.asarray(head["bias"]),
+            label2ans, table)
+        head["kernel"] = jnp.asarray(new_w.T)
+        head["bias"] = jnp.asarray(new_b)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.metrics.log(
+            f"load_lxmert_qa: {loaded} answers initialized from "
+            f"pretraining, {unloaded} zeroed")
+        self.opt_state = self.tx.init(self.params)
+
     def load_bert_pretrained(self, path: str) -> None:
         """Non---fromScratch path: overwrite the language tower (embeddings +
         l-layers + single-CLS pooler) with bert-base weights, replicating the
