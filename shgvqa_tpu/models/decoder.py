@@ -134,6 +134,7 @@ class HGDecoder(nn.Module):
     dropout: float = 0.15
     dtype: Dtype = jnp.float32
     scan: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, query_pos, memory, tgt_mask=None, memory_mask=None,
@@ -154,8 +155,10 @@ class HGDecoder(nn.Module):
                     )(carry, memory, query_pos, tgt_mask, memory_mask, det)
                     return out, None
 
+            body_cls = nn.remat(Body, static_argnums=(6,)) if self.remat \
+                else Body
             scanned = nn.scan(
-                Body,
+                body_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.num_layers,

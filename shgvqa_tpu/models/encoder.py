@@ -81,13 +81,16 @@ class TriStreamEncoder(nn.Module):
                 hidden_dropout=c.hidden_dropout, dtype=dt,
             )
             self.l_stack = ScannedBertStack(
-                num_layers=c.l_layers, **stack_kw, name="l_stack")
+                num_layers=c.l_layers, remat=self.remat, **stack_kw,
+                name="l_stack")
             self.r_stack = ScannedBertStack(
-                num_layers=c.r_layers, **stack_kw, name="r_stack")
+                num_layers=c.r_layers, remat=self.remat, **stack_kw,
+                name="r_stack")
             if c.cross_attn_type in ("cross", "old"):
                 self.x_stack = ScannedCrossStack(
                     layer_cls=CROSS_LAYER_TYPES[c.cross_attn_type],
-                    num_layers=c.x_layers, tie=c.tie_x_layers, **stack_kw,
+                    num_layers=c.x_layers, tie=c.tie_x_layers,
+                    remat=self.remat, **stack_kw,
                     name="x_stack")
             else:
                 self.x_stack = None

@@ -35,6 +35,8 @@ class ScannedBertStack(nn.Module):
     attn_dropout: float = 0.1
     hidden_dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    remat: bool = False   # recompute the body in backward (saves the
+                          # (L, B, T, D) stacked activations in HBM)
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic=True):
@@ -54,8 +56,10 @@ class ScannedBertStack(nn.Module):
                 )(carry, mask, det, False)
                 return out, None
 
+        body_cls = nn.remat(Body, static_argnums=(3,)) if self.remat \
+            else Body
         scanned = nn.scan(
-            Body,
+            body_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.num_layers,
@@ -87,6 +91,7 @@ class ScannedCrossStack(nn.Module):
     attn_dropout: float = 0.1
     hidden_dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, lang, lang_mask, visn, visn_mask, deterministic=True):
@@ -114,10 +119,12 @@ class ScannedCrossStack(nn.Module):
                   deterministic=det, return_probs=False)
                 return (lang, visn), None
 
+        body_cls = nn.remat(Body, static_argnums=(4,)) if self.remat \
+            else Body
         if self.tie:
             # weight-tied stack: ONE param set broadcast across iterations
             scanned = nn.scan(
-                Body,
+                body_cls,
                 variable_broadcast="params",
                 split_rngs={"params": False, "dropout": True},
                 length=self.num_layers,
@@ -125,7 +132,7 @@ class ScannedCrossStack(nn.Module):
             )
         else:
             scanned = nn.scan(
-                Body,
+                body_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.num_layers,

@@ -94,6 +94,7 @@ class ShgVqaModel(nn.Module):
                 dropout=cfg.decoder.dropout,
                 dtype=_dt(dt),
                 scan=enc.scan_layers,
+                remat=cfg.remat,
             )
             self.rel_decoder = HGDecoder(**dec_kw)
             self.action_decoder = HGDecoder(**dec_kw)

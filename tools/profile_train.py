@@ -58,8 +58,10 @@ def main() -> None:
 
     bsz = int(os.environ.get("SHGVQA_PROFILE_BATCH", "32"))
     os.environ.setdefault("SHGVQA_FLAT_OPT", "1")
-    cfg = _flagship_cfg(scan_layers=False).replace(
-        freeze_backbone=True, remat=False)
+    scan = os.environ.get("SHGVQA_BENCH_SCAN", "0") == "1"
+    remat_on = os.environ.get("SHGVQA_BENCH_REMAT", "0") == "1"
+    cfg = _flagship_cfg(scan_layers=scan).replace(
+        freeze_backbone=True, remat=remat_on)
     model = VideoShgVqaModel(cfg)
     tx = make_optimizer(lr=1e-5, t_total=1000, warmup=0.1, flat=True)
 
