@@ -58,15 +58,29 @@ class TorchMHA(nn.Module):
             return x.reshape(b, l, h, hd)
 
         q, k, v = split(wq), split(wk), split(wv)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-        scores = scores / jnp.sqrt(jnp.float32(hd))
-        if attn_mask is not None:
-            # additive (Lq, Lk) or broadcastable
-            scores = scores + attn_mask.astype(jnp.float32)
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        out = out.reshape(out.shape[0], out.shape[1], d)
+
+        from shgvqa_tpu.kernels import attention as pallas_attn
+
+        if pallas_attn.is_enabled():
+            rate = 0.0 if deterministic else self.dropout
+            rng = self.make_rng("dropout") if rate > 0.0 else None
+            out = pallas_attn.fused_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), attn_mask,
+                dropout_rate=rate, dropout_rng=rng,
+            ).transpose(0, 2, 1, 3)
+            out = out.reshape(out.shape[0], out.shape[1], d)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+            scores = scores / jnp.sqrt(jnp.float32(hd))
+            if attn_mask is not None:
+                # additive (Lq, Lk) or broadcastable
+                scores = scores + attn_mask.astype(jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            probs = nn.Dropout(self.dropout)(
+                probs, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+            out = out.reshape(out.shape[0], out.shape[1], d)
         out = Dense(d, dtype=self.dtype, kernel_init=bert_kernel_init,
                     name="out_proj")(out)
         return out

@@ -151,15 +151,14 @@ class Attention(nn.Module):
 
         from shgvqa_tpu.kernels import attention as pallas_attn
 
-        use_kernel = (
-            pallas_attn.is_enabled()
-            and not return_probs
-            and (deterministic or self.dropout == 0.0)
-        )
+        use_kernel = pallas_attn.is_enabled() and not return_probs
         if use_kernel:
+            rate = 0.0 if deterministic else self.dropout
+            rng = self.make_rng("dropout") if rate > 0.0 else None
             out = pallas_attn.fused_attention(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), mask,
+                dropout_rate=rate, dropout_rng=rng,
             ).transpose(0, 2, 1, 3)
             out = out.reshape(out.shape[0], out.shape[1], all_head)
             return out, None

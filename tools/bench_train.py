@@ -39,11 +39,18 @@ def main() -> None:
     # conv-backward path, which lowers ~50x slower than forward on this
     # platform (see axon-tpu notes); unfreeze with SHGVQA_BENCH_UNFREEZE=1
     freeze = os.environ.get("SHGVQA_BENCH_UNFREEZE", "0") != "1"
-    # scan_layers=False: the relay's chipless AOT compile helper crashes on
-    # the scanned BACKWARD graph (HTTP 500; the same graph compiles and runs
-    # on local XLA backends) — training benches stay unrolled here
-    cfg = _flagship_cfg(scan_layers=False).replace(
-        freeze_backbone=freeze, remat=False)
+    # scan_layers default False: the relay's chipless AOT compile helper
+    # historically crashed on the scanned BACKWARD graph (HTTP 500; the same
+    # graph compiles and runs on local XLA backends).  A/B via env:
+    scan = os.environ.get("SHGVQA_BENCH_SCAN", "0") == "1"
+    remat_on = os.environ.get("SHGVQA_BENCH_REMAT", "0") == "1"
+    cfg = _flagship_cfg(scan_layers=scan).replace(
+        freeze_backbone=freeze, remat=remat_on)
+    if os.environ.get("SHGVQA_BENCH_PALLAS", "0") == "1":
+        from shgvqa_tpu.kernels import attention as pallas_attn
+
+        pallas_attn.enable(True)
+        cfg = cfg.replace(use_pallas_attention=True)
     os.environ.setdefault("SHGVQA_FLAT_OPT", "1")  # verified at flagship size
     model = VideoShgVqaModel(cfg)
     tx = make_optimizer(lr=1e-5, t_total=1000, warmup=0.1, flat=True)
