@@ -81,18 +81,20 @@ class ResNeXt101(nn.Module):
     depths: Sequence[int] = (3, 4, 23, 3)
     groups: int = 32
     width_per_group: int = 8
+    stem_width: int = 64                       # toy-size override for tests
+    outs: Sequence[int] = (256, 512, 1024, 2048)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dt = self.dtype
         b, t, h, w, c = x.shape
         x = x.reshape(b * t, h, w, c).astype(dt)
-        out = _conv2d(64, (7, 7), (2, 2), dt, "stem_conv")(x)
-        out = FrozenBatchNorm(64, dtype=dt, name="stem_bn")(out)
+        out = _conv2d(self.stem_width, (7, 7), (2, 2), dt, "stem_conv")(x)
+        out = FrozenBatchNorm(self.stem_width, dtype=dt, name="stem_bn")(out)
         out = nn.relu(out)
         out = nn.max_pool(out, (3, 3), strides=(2, 2),
                           padding=((1, 1), (1, 1)))
-        outs = (256, 512, 1024, 2048)
+        outs = self.outs
         for si in range(4):
             mid = self.groups * self.width_per_group * (2 ** si)
             for bi in range(self.depths[si]):
