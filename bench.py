@@ -37,6 +37,11 @@ def main() -> None:
     from shgvqa_tpu.models.shgvqa import VideoShgVqaModel
 
     cfg = _flagship_cfg()
+    if os.environ.get("SHGVQA_BENCH_PALLAS", "0") == "1":
+        from shgvqa_tpu.kernels import attention as pallas_attn
+
+        pallas_attn.enable(True)
+        cfg = cfg.replace(use_pallas_attention=True)
     model = VideoShgVqaModel(cfg)
     rng = jax.random.PRNGKey(0)
 

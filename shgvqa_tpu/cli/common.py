@@ -173,6 +173,12 @@ def run_driver(dataset: str, argv=None) -> dict:
         train_src, num_items=len(train_src),
         batch_size=cfg.optim.batch_size, shuffle=True, drop_last=True,
         seed=cfg.seed)
+    if len(train_batcher) == 0:
+        raise SystemExit(
+            f"train split has {len(train_src)} item(s) after filters "
+            f"(qType={cfg.data.qtype!r}, tiny/fast/subset) — fewer than one "
+            f"batch of {cfg.optim.batch_size} with drop_last; lower "
+            f"--batchSize or widen the filters")
 
     valid_batcher = None
     valid_data = None

@@ -1,0 +1,57 @@
+"""End-to-end CLI driver smoke: the four reference entry points run a full
+tiny train->eval->checkpoint cycle in-process on synthetic data.
+
+The reference's public surface is its driver scripts (SURVEY.md §2.3) —
+``agqaHGQA.py`` etc. parse flags, build datasets/loaders, train with
+per-epoch eval, and write CURRENT/BEST/LAST + log.log.  Unit tests cover the
+pieces; these cover the actual ``main(argv)`` path a user runs (a round-2
+smoke found a filter+drop_last StopIteration no unit test could see).
+"""
+
+import json
+import os
+
+import pytest
+
+
+def _run(main, argv, out_dir):
+    # tiny dims + synthetic data; single epoch keeps the 1-core jit cheap
+    main(argv + ["--tiny", "--epochs", "1", "--batchSize", "2",
+                 "--syntheticData", "24", "--numWorkers", "0",
+                 "--output", str(out_dir)])
+    assert (out_dir / "log.log").exists()
+    assert (out_dir / "metrics.jsonl").exists()
+
+
+@pytest.mark.slow
+def test_star_hgqa_cli_end_to_end(tmp_path):
+    from shgvqa_tpu.cli.star import main
+
+    _run(main, ["--taskHGQA", "--train", "train", "--valid", "valid"],
+         tmp_path)
+    # per-epoch eval ran and checkpoints were written
+    logged = (tmp_path / "log.log").read_text()
+    assert "Epoch 0" in logged
+    snaps = {p.name for p in tmp_path.iterdir()}
+    assert any(n.startswith("BEST") for n in snaps), snaps
+
+
+@pytest.mark.slow
+def test_agqa_q_cli_end_to_end(tmp_path):
+    from shgvqa_tpu.cli.agqa_q import main
+
+    _run(main, ["--taskQ", "--train", "train", "--valid", "valid"], tmp_path)
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+    assert any("loss" in json.loads(ln) or "total_loss" in json.loads(ln)
+               for ln in lines)
+
+
+def test_star_cli_rejects_empty_train_split(tmp_path):
+    """qType filter + drop_last can leave zero full batches; the driver must
+    fail with a clear message, not a bare StopIteration."""
+    from shgvqa_tpu.cli.star import main
+
+    with pytest.raises(SystemExit, match="fewer than one batch"):
+        main(["--taskHGQA", "--tiny", "--train", "train", "--epochs", "1",
+              "--batchSize", "2", "--syntheticData", "4",
+              "--output", str(tmp_path)])
