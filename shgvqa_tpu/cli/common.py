@@ -206,7 +206,7 @@ def run_driver(dataset: str, argv=None) -> dict:
             cfg, steps_per_epoch=max(1, len(train_batcher)),
             model=trainer.model, trainable_mask=mask)
         trainer.params = params
-        trainer.opt_state = trainer.tx.init(params)
+        trainer._reset_opt()
     if cfg.task != "q":
         # pretrained backbone (torch.hub pretrained=True analog); convert
         # the public SLOW_8x8_R50.pyth once via tools/convert_slow_r50.py

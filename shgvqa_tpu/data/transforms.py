@@ -180,29 +180,74 @@ def _affine_warp(x: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
     return warped.reshape(t, c, h, w).transpose(0, 2, 3, 1)
 
 
+# Geometric ops run as 1-D "row shear" passes instead of a 2-D gather.
+# A shear/translate's inverse map keeps one coordinate integral, so a 1-D
+# lerp along the other axis IS the exact bilinear result; rotation uses the
+# Paeth 3-shear decomposition R = X(tan(t/2)) Y(-sin t) X(tan(t/2)) — a
+# deliberate, documented divergence from 2-D bilinear rotation (three 1-D
+# lerps; tests bound the difference).  Why: a general 2-D warp is a
+# per-pixel 4-tap gather — 77M lane-hostile lookups per b32 batch, measured
+# 370-400 ms/layer on-chip no matter the layout — while a row shear is R
+# coalesced (1, C+1, T*C) slice-gathers + one lerp (the TPU loves it).
+
+_GEO_PAD = 128   # covers max |shift| at magnitude 31: translate 0.45*224=101
+
+
+def _row_shear(planes: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
+    """planes (R, C, L) -> out[r, c] = planes[r, c + shift[r]] with 1-D
+    bilinear along C and zero fill."""
+    r, c, l = planes.shape
+    xp = jnp.pad(planes, ((0, 0), (_GEO_PAD, _GEO_PAD + 1), (0, 0)))
+    k = jnp.floor(shift).astype(jnp.int32)
+    f = (shift - k.astype(shift.dtype))[:, None, None].astype(planes.dtype)
+    starts = jnp.stack(
+        [jnp.arange(r, dtype=jnp.int32), k + _GEO_PAD], axis=-1)
+    g = jax.lax.gather(
+        xp, starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1)),
+        slice_sizes=(1, c + 1, l),
+    )                                                      # (R, C+1, L)
+    return (1.0 - f) * g[:, :c] + f * g[:, 1:]
+
+
+def _geo_passes(x: jnp.ndarray, lam1=0.0, beta=0.0, lam3=0.0,
+                t1=0.0, t2=0.0) -> jnp.ndarray:
+    """x (T, H, W, C): x-shear(lam1)+translate(t1) -> y-shear(beta)+
+    translate(t2) -> x-shear(lam3), each about the image center."""
+    t, h, w, c = x.shape
+    planes = x.transpose(1, 2, 0, 3).reshape(h, w, t * c)
+    ys = jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2.0
+    xs = jnp.arange(w, dtype=jnp.float32) - (w - 1) / 2.0
+    planes = _row_shear(planes, lam1 * ys + t1)
+    pt = planes.transpose(1, 0, 2)                         # (W, H, TC)
+    pt = _row_shear(pt, beta * xs + t2)
+    planes = pt.transpose(1, 0, 2)
+    planes = _row_shear(planes, lam3 * ys + jnp.zeros_like(ys))
+    return planes.reshape(h, w, t, c).transpose(2, 0, 1, 3)
+
+
 def op_shear_x(x, v):
-    return _affine_warp(x, jnp.asarray([[1.0, v, 0.0], [0.0, 1.0, 0.0]]))
+    return _geo_passes(x, lam1=v)
 
 
 def op_shear_y(x, v):
-    return _affine_warp(x, jnp.asarray([[1.0, 0.0, 0.0], [v, 1.0, 0.0]]))
+    return _geo_passes(x, beta=v)
 
 
 def op_translate_x(x, v):
-    px = v * x.shape[2]
-    return _affine_warp(x, jnp.asarray([[1.0, 0.0, px], [0.0, 1.0, 0.0]]))
+    return _geo_passes(x, t1=v * x.shape[2])
 
 
 def op_translate_y(x, v):
-    py = v * x.shape[1]
-    return _affine_warp(x, jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, py]]))
+    return _geo_passes(x, t2=v * x.shape[1])
 
 
 def op_rotate(x, v):
     rad = v * jnp.pi / 180.0
-    cos, sin = jnp.cos(rad), jnp.sin(rad)
-    return _affine_warp(
-        x, jnp.asarray([[cos, sin, 0.0], [-sin, cos, 0.0]]))
+    a = jnp.tan(rad / 2.0)
+    return _geo_passes(x, lam1=a, beta=-jnp.sin(rad), lam3=a)
 
 
 def op_identity(x, _v):
@@ -275,6 +320,177 @@ def rand_augment(frames01: jnp.ndarray, rng: jax.Array,
         )
         x = jnp.where(apply, augmented, x)
     return x
+
+
+# ---------------------------------------------------------------------------
+# Batched RandAugment.
+#
+# ``jax.vmap(rand_augment)`` is correct but catastrophic on TPU: vmap lowers
+# the per-clip ``lax.switch`` to "execute EVERY branch on the whole batch and
+# select", so each of the 2 layers runs all 14 ops — including 5 gather-heavy
+# affine warps and the scatter-add histogram equalize — on (B,T,224,224,3).
+# Measured on-chip at b32: 6.6 s per batch (tools/bench_ladder.py, round 2),
+# which would cap the published rand_aug training recipes
+# (``README.md:51,162-186`` of the reference) at ~5 clips/s.
+#
+# The batched formulation samples per-clip (op, apply, sign) with the exact
+# split sequence of ``rand_augment`` (bit-identical draws), then executes
+# each op ONCE per layer on the whole batch:
+#   - the 5 geometric ops collapse into ONE warp with a per-clip affine
+#     matrix (identity for clips whose op is photometric);
+#   - photometric ops are cheap elementwise/reduction passes XLA fuses;
+#   - equalize computes its CDF by sort + searchsorted (no scatter) on an
+#     optionally strided pixel subsample (stride 1 == exact; the default 8
+#     estimates the 256-bin histogram from ~100k pixels/channel, a
+#     documented divergence on an already-stochastic op).
+# ---------------------------------------------------------------------------
+
+_GEO_ROT, _GEO_SHX, _GEO_SHY, _GEO_TRX, _GEO_TRY = 3, 10, 11, 12, 13
+
+
+def _sample_rand_augment(key: jax.Array, num_layers: int, prob: float):
+    """Replicates rand_augment's per-layer split sequence for one clip."""
+    ops, applies, signs = [], [], []
+    n_ops = len(RAND_AUGMENT_OPS)
+    for _ in range(num_layers):
+        key, r_op, r_apply, r_sign = jax.random.split(key, 4)
+        ops.append(jax.random.randint(r_op, (), 0, n_ops))
+        applies.append(jax.random.uniform(r_apply) < prob)
+        signs.append(
+            jnp.where(jax.random.uniform(r_sign) < 0.5, -1.0, 1.0))
+    return jnp.stack(ops), jnp.stack(applies), jnp.stack(signs)
+
+
+def _apply_lut_onehot(lut: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """LUT application without a per-pixel gather: ``lut[b, c, q[b, c, p]]``
+    as a one-hot bf16 contraction the MXU streams.
+
+    A (B, C, 256) take_along_axis with (B, C, P) indices gathers along the
+    lane dimension — measured 1.1 s/call at b32 on-chip, 75% of the whole
+    batched RandAugment.  ``sum_k one_hot(q)[p, k] * lut[k]`` is the same
+    function as a dot; one_hot and integer LUT values (<= 255) are exact in
+    bf16, so this is bit-equal, and XLA fuses the comparison into the
+    contraction instead of materializing (B, C, P, 256)."""
+    oh = (q[..., None] == jnp.arange(256, dtype=jnp.int32)).astype(
+        jnp.bfloat16)                                          # (B, C, P, 256)
+    out = jax.lax.dot_general(
+        oh, lut.astype(jnp.bfloat16),
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )                                                          # (B, C, P)
+    return out
+
+
+def op_equalize_batch(x: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
+    """(B, T, H, W, C) batched equalize, scatter- and gather-free.
+
+    cdf[k] = #(pixels <= k) comes from sort + searchsorted over a strided
+    pixel subsample; the LUT formula matches ``op_equalize`` exactly, so
+    stride=1 is bit-equal to the per-clip op."""
+    b, t, h, w, c = x.shape
+    q = jnp.clip(jnp.floor(x * 255.0), 0, 255).astype(jnp.int32)
+    qc = q.transpose(0, 4, 1, 2, 3).reshape(b, c, -1)          # (B, C, P)
+    sub = qc[:, :, ::stride]
+    s = jnp.sort(sub, axis=-1)
+    ks = jnp.arange(256, dtype=jnp.int32)
+    cdf = jax.vmap(jax.vmap(
+        lambda a: jnp.searchsorted(a, ks, side="right")))(s)
+    cdf = cdf.astype(jnp.float32)                               # (B, C, 256)
+    hist = cdf - jnp.concatenate(
+        [jnp.zeros_like(cdf[..., :1]), cdf[..., :-1]], axis=-1)
+    nz_min = jnp.min(jnp.where(hist > 0, cdf, jnp.inf), axis=-1,
+                     keepdims=True)
+    total = cdf[..., -1:]
+    denom = jnp.maximum(total - nz_min, 1.0)
+    lut = jnp.clip(jnp.round((cdf - nz_min) / denom * 255.0), 0, 255)
+    out = _apply_lut_onehot(lut, qc)                            # (B, C, P)
+    out = out.reshape(b, c, t, h, w).transpose(0, 2, 3, 4, 1)
+    return out.astype(x.dtype) / 255.0
+
+
+def _apply_layer_batch(x: jnp.ndarray, op: jnp.ndarray, apply: jnp.ndarray,
+                       sign: jnp.ndarray, magnitude: int,
+                       eq_stride: int) -> jnp.ndarray:
+    """One RandAugment layer over the batch: every op class executes once."""
+    b, t, h, w, c = x.shape
+    op = jnp.where(apply, op, 0)                  # identity when not applied
+
+    def lvl(i):
+        _, maxval, signed = RAND_AUGMENT_OPS[i]
+        v = (magnitude / 31.0) * maxval
+        return (v * sign if signed else jnp.full_like(sign, v)).astype(
+            x.dtype)
+
+    def sel(i, cand, out):
+        return jnp.where((op == i)[:, None, None, None, None], cand, out)
+
+    vx = lambda f, i: jax.vmap(f)(x, lvl(i))      # noqa: E731
+
+    out = x                                        # 0: identity
+    out = sel(1, jax.vmap(op_autocontrast)(x, lvl(1)), out)
+    out = sel(2, op_equalize_batch(x, stride=eq_stride), out)
+    out = sel(4, vx(op_solarize, 4), out)
+    out = sel(5, vx(op_color, 5), out)
+    out = sel(6, vx(op_posterize, 6), out)
+    out = sel(7, vx(op_contrast, 7), out)
+    out = sel(8, vx(op_brightness, 8), out)
+    out = sel(9, vx(op_sharpness, 9), out)
+
+    is_geo = ((op == _GEO_ROT) | (op >= _GEO_SHX))
+    zero = jnp.zeros_like(sign)
+    rad = lvl(_GEO_ROT).astype(jnp.float32) * jnp.pi / 180.0
+    a = jnp.tan(rad / 2.0)
+    lam1 = jnp.where(op == _GEO_ROT, a,
+                     jnp.where(op == _GEO_SHX, lvl(_GEO_SHX), zero))
+    beta = jnp.where(op == _GEO_ROT, -jnp.sin(rad),
+                     jnp.where(op == _GEO_SHY, lvl(_GEO_SHY), zero))
+    lam3 = jnp.where(op == _GEO_ROT, a, zero)
+    t1 = jnp.where(op == _GEO_TRX, lvl(_GEO_TRX) * w, zero)
+    t2 = jnp.where(op == _GEO_TRY, lvl(_GEO_TRY) * h, zero)
+    warped = jax.vmap(_geo_passes)(x, lam1, beta, lam3, t1, t2)
+    return jnp.where(is_geo[:, None, None, None, None], warped, out)
+
+
+def rand_augment_batch(frames01: jnp.ndarray, keys: jax.Array,
+                       num_layers: int = 2, magnitude: int = 9,
+                       prob: float = 0.5, eq_stride: int = 8) -> jnp.ndarray:
+    """Batched video-consistent RandAugment: (B, T, H, W, C) in [0, 1] with
+    per-clip keys (B, ...).  Samples identically to
+    ``vmap(rand_augment)(frames, keys)``; with eq_stride=1 the output is
+    bit-equal (tests/test_transforms.py)."""
+    op, apply, sign = jax.vmap(
+        lambda k: _sample_rand_augment(k, num_layers, prob))(keys)
+    x = frames01
+    for layer in range(num_layers):
+        x = _apply_layer_batch(x, op[:, layer], apply[:, layer],
+                               sign[:, layer], magnitude, eq_stride)
+    return x
+
+
+def aug_mix_batch(frames01: jnp.ndarray, keys: jax.Array, severity: int = 3,
+                  width: int = 3, depth: int = 2, alpha: float = 1.0,
+                  eq_stride: int = 8) -> jnp.ndarray:
+    """Batched AugMix with the same per-clip sampling as ``aug_mix``."""
+    def sample(key):
+        key, r_w, r_m = jax.random.split(key, 3)
+        ws = jax.random.dirichlet(r_w, jnp.full((width,), alpha))
+        m = jax.random.beta(r_m, alpha, alpha)
+        chain_keys = []
+        for _ in range(width):
+            key, r_chain = jax.random.split(key)
+            chain_keys.append(r_chain)
+        return ws, m, jnp.stack(chain_keys)
+
+    ws, m, chain_keys = jax.vmap(sample)(keys)     # (B,W), (B,), (B,W,2)
+    mixed = jnp.zeros_like(frames01)
+    for i in range(width):
+        chain = rand_augment_batch(frames01, chain_keys[:, i],
+                                   num_layers=depth, magnitude=severity,
+                                   prob=1.0, eq_stride=eq_stride)
+        mixed = mixed + ws[:, i, None, None, None, None].astype(
+            frames01.dtype) * chain
+    mb = m[:, None, None, None, None].astype(frames01.dtype)
+    return (1.0 - mb) * frames01 + mb * mixed
 
 
 @partial(jax.jit, static_argnames=("clip_len", "size", "backbone",

@@ -278,9 +278,9 @@ class VideoShgVqaModel(nn.Module):
                  output_attentions: bool = False) -> Dict[str, jnp.ndarray]:
         from shgvqa_tpu.data.transforms import (
             NORM_STATS,
-            aug_mix,
+            aug_mix_batch,
             normalize_clip,
-            rand_augment,
+            rand_augment_batch,
         )
 
         if "frames" in batch and self.cfg.task != "q":
@@ -290,12 +290,16 @@ class VideoShgVqaModel(nn.Module):
             aug = self.cfg.data.augment_type
             if not deterministic and aug in ("rand_aug", "rand_aug_slowfast",
                                              "aug_mix"):
+                # batched formulation: vmap(rand_augment)'s switch lowering
+                # runs all 14 ops per layer (6.6s/batch on-chip at b32);
+                # the batched version samples identically but executes each
+                # op class once per layer (see data/transforms.py)
                 key = self.make_rng("augment")
                 keys = jax.random.split(key, frames.shape[0])
                 if aug == "aug_mix":
-                    frames = jax.vmap(aug_mix)(frames, keys)
+                    frames = aug_mix_batch(frames, keys)
                 else:
-                    frames = jax.vmap(rand_augment)(frames, keys)
+                    frames = rand_augment_batch(frames, keys)
             mean, std = NORM_STATS.get(self.cfg.backbone,
                                        NORM_STATS["slow_r50"])
             frames = normalize_clip(frames, mean, std)

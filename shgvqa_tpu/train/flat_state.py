@@ -1,0 +1,153 @@
+"""Flat-major train state: the training state IS one lane-aligned vector.
+
+Round-2 ladder profiling (tools/bench_ladder.py, b32 flagship on-chip) split
+the 377 ms train step into fwd 106 + bwd 134 + optimizer/apply ~140 ms.  The
+optimizer tail is pure per-leaf dispatch: even with the "flat" BertAdam
+(train/optimizer.py:bert_adam_flat) every step pays ravel(grads) +
+unravel(updates) + ~200 per-leaf apply adds — ~500 thunks on a relay that
+dispatches each thunk individually (~0.27 ms, ROUND1_NOTES).
+
+Flat-major inverts the representation (tools/proto_flat_state.py A/B):
+
+- the canonical state is ``flat``: the ravel of the model's ``params``
+  collection, padded to (N/256, 256) f32 — 1-D vectors can be horizontally
+  fused by libtpu into pathologically tiled stacks (see bert_adam_flat);
+- the parameter TREE is materialized by ``unravel`` INSIDE the jit (the
+  ~200 slices feed the forward directly, and the backward of ravel is one
+  concat), so gradients arrive already flat;
+- BertAdam + global-norm clip + the parameter update are ~12 fused ops over
+  3 big arrays, with the whole state donated in place;
+- non-"params" collections (BatchNorm running stats) are NOT part of the
+  state and receive no gradient or update — matching the reference, where
+  they are torch buffers held fixed by ``vid_encoder.eval()``
+  (``agqaHGQA.py:263``).  (The tree path had been silently training them —
+  fixed in train/loop.py the same way.)
+
+Measured (b32/b64 flagship, frozen backbone, fused attention):
+tree+flat-optimizer 377 ms -> flat-major 295 ms (b32); b64 489 ms =
+131 clips/s/chip vs 94.3 at the end of round 1 (+39%), and the round-1
+"b64 is 1.85 s" pathology disappears (it was optimizer tree churn).
+
+Semantics match ``bert_adam_flat`` exactly: no bias correction, decoupled
+weight decay, pre-increment schedule, frozen leaves excluded from the clip
+norm (``lxrt/optimization.py:52-180``, ``star.py:87-88``);
+tests/test_flat_state.py locks step-for-step equality with the tree path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shgvqa_tpu.train.optimizer import SCHEDULES
+
+LANES = 256
+
+
+class FlatTrainState(NamedTuple):
+    flat: jnp.ndarray        # (R, LANES) f32 — padded ravel of params
+    m: jnp.ndarray           # first moment, same shape
+    v: jnp.ndarray           # second moment
+    trainable: jnp.ndarray   # 0/1 mask, same shape
+    step: jnp.ndarray        # () int32, pre-increment semantics
+
+
+class FlatSpec(NamedTuple):
+    """Static companion of FlatTrainState: how to rebuild the tree."""
+    unravel: Callable[[jnp.ndarray], Any]
+    n: int                   # true (unpadded) element count
+    aux: Dict[str, Any]      # non-"params" collections (e.g. batch_stats)
+
+
+def _pad2d(flat: jnp.ndarray) -> jnp.ndarray:
+    n = flat.shape[0]
+    padded = (n + LANES - 1) // LANES * LANES
+    return jnp.zeros((padded,), flat.dtype).at[:n].set(flat).reshape(
+        -1, LANES)
+
+
+def build_flat_state(variables: Dict[str, Any],
+                     trainable_mask: Optional[Any] = None
+                     ) -> Tuple[FlatTrainState, FlatSpec]:
+    """variables: the full model.init output ({'params': ..., maybe
+    'batch_stats': ...}).  Only the 'params' collection enters the flat
+    vector; the rest rides along as fixed aux inputs."""
+    from jax.flatten_util import ravel_pytree
+
+    params = variables["params"]
+    aux = {k: v for k, v in variables.items() if k != "params"}
+    flat, unravel = ravel_pytree(params)
+    flat = flat.astype(jnp.float32)
+    if trainable_mask is not None:
+        mask_p = trainable_mask["params"] if (
+            isinstance(trainable_mask, dict)
+            and "params" in trainable_mask) else trainable_mask
+        mask_tree = jax.tree_util.tree_map(
+            lambda t, p: jnp.full(jnp.shape(p), float(t), jnp.float32),
+            mask_p, params)
+        trainable, _ = ravel_pytree(mask_tree)
+    else:
+        trainable = jnp.ones_like(flat)
+    state = FlatTrainState(
+        flat=_pad2d(flat),
+        m=jnp.zeros_like(_pad2d(flat)),
+        v=jnp.zeros_like(_pad2d(flat)),
+        trainable=_pad2d(trainable),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, FlatSpec(unravel=unravel, n=int(flat.shape[0]), aux=aux)
+
+
+def flat_to_variables(state: FlatTrainState, spec: FlatSpec) -> Dict[str, Any]:
+    """Materialize the model variables dict from the flat state (host side:
+    used for eval steps, checkpoints, and weight-surgery paths)."""
+    params = jax.jit(
+        lambda f: spec.unravel(f.reshape(-1)[:spec.n]))(state.flat)
+    return {"params": params, **spec.aux}
+
+
+def make_flat_train_step(cfg, model, spec: FlatSpec, *, lr: float,
+                         t_total: int, warmup: float = 0.1,
+                         schedule: str = "warmup_linear", b1: float = 0.9,
+                         b2: float = 0.999, eps: float = 1e-6,
+                         weight_decay: float = 0.01, grad_clip: float = 5.0,
+                         compute_losses=None, donate: bool = True):
+    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+    if compute_losses is None:
+        from shgvqa_tpu.train.step import compute_losses as _cl
+        compute_losses = _cl
+    sched_fn = SCHEDULES[schedule]
+    unravel, n = spec.unravel, spec.n
+    aux = spec.aux
+
+    def train_step(state: FlatTrainState, batch, rng):
+        def loss_flat(flat2d):
+            variables = {"params": unravel(flat2d.reshape(-1)[:n]), **aux}
+            r_drop, r_aug = jax.random.split(rng)
+            outputs = model.apply(variables, batch, deterministic=False,
+                                  rngs={"dropout": r_drop, "augment": r_aug})
+            return compute_losses(cfg, outputs, batch)
+
+        (_, metrics), g = jax.value_and_grad(
+            loss_flat, has_aux=True)(state.flat)
+        g = g * state.trainable
+        gnorm = jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2))
+        g = g * jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
+        m = b1 * state.m + (1.0 - b1) * g
+        v = b2 * state.v + (1.0 - b2) * g * g
+        if t_total > 0:
+            progress = state.step.astype(jnp.float32) / float(t_total)
+            lr_t = lr * sched_fn(progress, warmup)
+        else:
+            lr_t = jnp.asarray(lr, jnp.float32)
+        upd = -lr_t * (m / (jnp.sqrt(v) + eps) + weight_decay * state.flat)
+        upd = upd * state.trainable
+        new = FlatTrainState(flat=state.flat + upd, m=m, v=v,
+                             trainable=state.trainable,
+                             step=state.step + 1)
+        return new, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -33,12 +33,30 @@ from shgvqa_tpu.train.step import compute_losses, make_eval_step
 class Trainer:
     def __init__(self, cfg: Config, steps_per_epoch: int,
                  trainable_mask=None, mesh=None, shardings=None, model=None):
+        import os
+
         self.cfg = cfg
         self.model = model if model is not None else ShgVqaModel(cfg)
-        t_total = int(steps_per_epoch * cfg.optim.epochs)
+        self._t_total = int(steps_per_epoch * cfg.optim.epochs)
+        self._trainable_mask = trainable_mask
+        # Flat-major state (train/flat_state.py): the train state is ONE
+        # lane-aligned vector — the whole optimizer+apply is ~12 fused ops
+        # instead of ~500 per-leaf thunks (377 -> 295 ms/step at b32 on the
+        # per-thunk-dispatch relay).  Tree mode remains for sharded params
+        # (a TP mesh needs per-leaf PartitionSpecs) and as a kill switch.
+        self.flat_mode = (
+            mesh is None and shardings is None
+            and cfg.mesh.model_parallel <= 1
+            and os.environ.get("SHGVQA_FLAT_STATE", "1") == "1")
+        # optimizer-tree mask: collections other than 'params' (BatchNorm
+        # running stats) never enter the optimizer — they are torch BUFFERS
+        # in the reference, pinned by vid_encoder.eval() (agqaHGQA.py:263)
+        tm = (trainable_mask.get("params")
+              if isinstance(trainable_mask, dict)
+              and "params" in trainable_mask else trainable_mask)
         self.tx = make_optimizer(
             lr=cfg.optim.lr,
-            t_total=t_total,
+            t_total=self._t_total,
             warmup=cfg.optim.warmup,
             schedule=cfg.optim.schedule,
             b1=cfg.optim.b1,
@@ -46,16 +64,17 @@ class Trainer:
             eps=cfg.optim.eps,
             weight_decay=cfg.optim.weight_decay,
             grad_clip=cfg.optim.grad_clip,
-            trainable_mask=trainable_mask,
+            trainable_mask=tm,
             # flat (raveled) updates minimize kernel count but can trip a
             # libtpu horizontal-fusion layout pathology at some sizes
             # (see bert_adam_flat docstring) — opt in via SHGVQA_FLAT_OPT=1
             flat=(cfg.mesh.model_parallel <= 1
-                  and __import__("os").environ.get(
-                      "SHGVQA_FLAT_OPT", "0") == "1"),
+                  and os.environ.get("SHGVQA_FLAT_OPT", "0") == "1"),
         )
         self.params = None
         self.opt_state = None
+        self._flat_state = None
+        self._flat_spec = None
         self.step = 0
         self.ckpt = CheckpointManager(cfg.output)
         self._train_step = None
@@ -78,24 +97,67 @@ class Trainer:
         init_fn = jax.jit(
             lambda r, b: self.model.init(r, b, deterministic=True))
         self.params = init_fn(rng, example_batch)
-        self.opt_state = self.tx.init(self.params)
+        self._reset_opt()
+
+    def _reset_opt(self) -> None:
+        """(Re)build the optimizer state from the current self.params —
+        called after init and after every weight-surgery load (the reference
+        never checkpoints moments either)."""
+        if self.flat_mode:
+            from shgvqa_tpu.train.flat_state import build_flat_state
+
+            self._flat_state, self._flat_spec = build_flat_state(
+                self.params, self._trainable_mask)
+            self.opt_state = None
+        else:
+            self.opt_state = self.tx.init(self.params["params"])
+        self._train_step = None   # step closures capture the spec
+
+    def _sync_params_from_flat(self) -> None:
+        if self.flat_mode and self._flat_state is not None:
+            from shgvqa_tpu.train.flat_state import flat_to_variables
+
+            self.params = flat_to_variables(self._flat_state,
+                                            self._flat_spec)
 
     def _build_steps(self):
         cfg, model, tx = self.cfg, self.model, self.tx
 
-        def loss_fn(params, batch, rng):
+        if self.flat_mode:
+            from shgvqa_tpu.train.flat_state import make_flat_train_step
+
+            if self._flat_spec is None:
+                self._reset_opt()
+            o = cfg.optim
+            self._flat_train_step = make_flat_train_step(
+                cfg, model, self._flat_spec, lr=o.lr, t_total=self._t_total,
+                warmup=o.warmup, schedule=o.schedule, b1=o.b1, b2=o.b2,
+                eps=o.eps, weight_decay=o.weight_decay,
+                grad_clip=o.grad_clip, donate=cfg.donate_state)
+            self._train_step = True   # sentinel: steps are built
+            self._eval_step = jax.jit(make_eval_step(cfg, model))
+            return
+
+        def loss_fn(params_col, aux_cols, batch, rng):
             r_drop, r_aug = jax.random.split(rng)
-            outputs = model.apply(params, batch, deterministic=False,
-                                  rngs={"dropout": r_drop, "augment": r_aug})
+            outputs = model.apply(
+                {"params": params_col, **aux_cols}, batch,
+                deterministic=False,
+                rngs={"dropout": r_drop, "augment": r_aug})
             return compute_losses(cfg, outputs, batch)
 
-        def train_step(params, opt_state, batch, rng):
+        def train_step(variables, opt_state, batch, rng):
+            # differentiate ONLY the 'params' collection: BatchNorm running
+            # stats are buffers in the reference (vid_encoder.eval()),
+            # not parameters — they get no gradient and no update
+            params_col = variables["params"]
+            aux_cols = {k: v for k, v in variables.items() if k != "params"}
             (_, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch, rng)
-            updates, opt_state = tx.update(grads, opt_state, params)
+                loss_fn, has_aux=True)(params_col, aux_cols, batch, rng)
+            updates, opt_state = tx.update(grads, opt_state, params_col)
             import optax
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, metrics
+            params_col = optax.apply_updates(params_col, updates)
+            return {"params": params_col, **aux_cols}, opt_state, metrics
 
         donate = (0, 1) if cfg.donate_state else ()
         self._train_step = jax.jit(train_step, donate_argnums=donate)
@@ -132,9 +194,13 @@ class Trainer:
                     batch = dict(batch)
                     batch.pop("ques_id", None)
                     rng, step_rng = jax.random.split(rng)
-                    self.params, self.opt_state, metrics = self._train_step(
-                        self.params, self.opt_state, batch, step_rng
-                    )
+                    if self.flat_mode:
+                        self._flat_state, metrics = self._flat_train_step(
+                            self._flat_state, batch, step_rng)
+                    else:
+                        self.params, self.opt_state, metrics = \
+                            self._train_step(
+                                self.params, self.opt_state, batch, step_rng)
                     if self.step % cfg.log_freq == 0:
                         m = {k: float(v) for k, v in metrics.items()}
                         parts = " ".join(f"{k}={v:0.4f}" for k, v in m.items())
@@ -145,6 +211,9 @@ class Trainer:
                     n_steps += 1
                 dt = time.time() - t0
                 log(f"Epoch {epoch}: {n_steps} steps in {dt:0.1f}s")
+                # flat mode trains on the raveled state; materialize the
+                # tree once per epoch for eval/checkpoints
+                self._sync_params_from_flat()
                 self.ckpt.save("CURRENT", self.state_dict())
 
                 if evaluate is not None:
@@ -165,6 +234,7 @@ class Trainer:
                         {"epoch": epoch, "valid": valid_score, "hg": hg_score}
                     )
         finally:
+            self._sync_params_from_flat()
             self.ckpt.save("LAST", self.state_dict())
         return {"best": best, "history": history, "steps": self.step}
 
@@ -252,6 +322,14 @@ class Trainer:
 
     # -- state ------------------------------------------------------------
     def state_dict(self):
+        if self.flat_mode:
+            st = self._flat_state
+            return {
+                "params": self.params,
+                "opt_state": {"m": st.m, "v": st.v} if st is not None
+                else None,
+                "step": self.step,
+            }
         return {
             "params": self.params,
             "opt_state": self.opt_state,
@@ -295,7 +373,7 @@ class Trainer:
             f"Loaded encoder snapshot from {full}: subtrees {loaded}"
             + (f"; not in model: {missing}" if missing else ""))
         # optimizer moments restart (the reference never checkpoints them)
-        self.opt_state = self.tx.init(self.params)
+        self._reset_opt()
 
     def load_backbone(self, path: str) -> None:
         """Load converted pretrained backbone weights (params + BatchNorm
@@ -318,7 +396,7 @@ class Trainer:
         n = len(jax.tree_util.tree_leaves(tree))
         self.metrics.log(f"Loaded pretrained backbone from {path} "
                          f"({n} tensors incl. BN stats)")
-        self.opt_state = self.tx.init(self.params)
+        self._reset_opt()
 
     def load_lxmert_qa(self, path: str, label2ans) -> None:
         """load_lxmert_qa (qa_answer_table.py:84-158): restore an LXMERT
@@ -343,7 +421,7 @@ class Trainer:
         self.metrics.log(
             f"load_lxmert_qa: {loaded} answers initialized from "
             f"pretraining, {unloaded} zeroed")
-        self.opt_state = self.tx.init(self.params)
+        self._reset_opt()
 
     def load_bert_pretrained(self, path: str) -> None:
         """Non---fromScratch path: overwrite the language tower (embeddings +
@@ -366,10 +444,18 @@ class Trainer:
             f"{len(report['loaded'])} tensors"
             + (f"; skipped {len(report['skipped'])}"
                if report["skipped"] else ""))
-        self.opt_state = self.tx.init(self.params)
+        self._reset_opt()
 
     def load(self, name_or_path: str) -> None:
         state = self.ckpt.restore(name_or_path, template=self.state_dict())
         self.params = state["params"]
-        self.opt_state = state["opt_state"]
+        if self.flat_mode:
+            self._reset_opt()   # rebuilds flat from restored params
+            if state.get("opt_state") is not None:
+                self._flat_state = self._flat_state._replace(
+                    m=jnp.asarray(state["opt_state"]["m"]),
+                    v=jnp.asarray(state["opt_state"]["v"]),
+                    step=jnp.asarray(int(state["step"]), jnp.int32))
+        else:
+            self.opt_state = state["opt_state"]
         self.step = int(state["step"])

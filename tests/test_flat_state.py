@@ -1,0 +1,177 @@
+"""Flat-major train state (train/flat_state.py): numerical equivalence with
+the tree path, buffer (batch_stats) immutability, and checkpoint resume."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shgvqa_tpu.configs.config import tiny_test_config
+
+
+def _items(cfg, n=6, seed=0):
+    from tests.test_train_loop import _make_items
+
+    return _make_items(cfg, n=n, seed=seed)
+
+
+def _make_trainer(cfg, monkeypatch, flat: bool, tmp_path, tag):
+    from shgvqa_tpu.train.loop import Trainer
+
+    monkeypatch.setenv("SHGVQA_FLAT_STATE", "1" if flat else "0")
+    monkeypatch.setenv("SHGVQA_FLAT_OPT", "1")   # tree path: bert_adam_flat
+    out = tmp_path / tag
+    out.mkdir()
+    return Trainer(cfg.replace(output=str(out)), steps_per_epoch=3)
+
+
+def test_flat_major_matches_tree_path(tmp_path, monkeypatch):
+    """3 epochs of 3 steps: flat-major and tree+bert_adam_flat produce the
+    same parameters and losses (identical math, different layout)."""
+    from shgvqa_tpu.data.pipeline import Batcher, stack_items
+
+    cfg = tiny_test_config(task="hgqa")
+    items = _items(cfg)
+    results = {}
+    for flat in (True, False):
+        tr = _make_trainer(cfg, monkeypatch, flat, tmp_path,
+                           f"flat{int(flat)}")
+        batcher = Batcher(items, batch_size=2, shuffle=False, seed=0)
+        first = next(batcher.epoch(0))
+        first = {k: v for k, v in first.items()
+                 if k not in ("ques_id", "n_valid")}
+        tr.init_params(first)
+        assert tr.flat_mode is flat
+        losses = []
+
+        def batches(epoch):
+            for b in batcher.epoch(epoch):
+                yield b
+
+        def fake_eval(t):
+            return 0.5, 0.5
+
+        out = tr.train(batches, evaluate=None)
+        tr._sync_params_from_flat()
+        results[flat] = (jax.device_get(tr.params), out)
+
+    p_flat, p_tree = results[True][0], results[False][0]
+    flat_leaves = jax.tree_util.tree_leaves(p_flat)
+    tree_leaves = jax.tree_util.tree_leaves(p_tree)
+    assert len(flat_leaves) == len(tree_leaves)
+    for a, b in zip(flat_leaves, tree_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6, rtol=2e-5)
+
+
+def test_flat_state_excludes_aux_collections():
+    """Non-'params' collections (BatchNorm stats analogs) stay out of the
+    flat vector and are bitwise untouched by a train step."""
+    import flax.linen as nn
+
+    from shgvqa_tpu.train.flat_state import (
+        build_flat_state,
+        flat_to_variables,
+        make_flat_train_step,
+    )
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, batch, deterministic=True):
+            stat = self.variable("stats", "mu", lambda: jnp.ones((4,)))
+            w = self.param("w", nn.initializers.ones, (4,))
+            return {"y": (batch["x"] - stat.value) * w}
+
+    model = Toy()
+    batch = {"x": jnp.arange(8.0).reshape(2, 4)}
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    assert "stats" in variables
+    state, spec = build_flat_state(variables)
+    assert spec.n == 4                       # only 'w'
+    assert "stats" in spec.aux
+
+    def losses(cfg, outputs, batch):
+        loss = jnp.sum(outputs["y"] ** 2)
+        return loss, {"total_loss": loss}
+
+    step = make_flat_train_step(
+        None, model, spec, lr=1e-2, t_total=-1, compute_losses=losses,
+        donate=False)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert float(metrics["total_loss"]) > 0
+    new_vars = flat_to_variables(new_state, spec)
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["stats"]["mu"]), np.ones((4,)))
+    assert not np.allclose(np.asarray(new_vars["params"]["w"]), 1.0)
+
+
+def test_tree_path_no_longer_trains_batch_stats(tmp_path, monkeypatch):
+    """Regression: the tree train step used to differentiate and update the
+    whole variables dict, silently training BatchNorm running stats (torch
+    buffers in the reference, pinned by vid_encoder.eval())."""
+    import flax.linen as nn
+
+    from shgvqa_tpu.train.loop import Trainer
+
+    cfg = tiny_test_config(task="hgqa")
+
+    class StatModel(nn.Module):
+        cfg: object
+
+        @nn.compact
+        def __call__(self, batch, deterministic=True,
+                     output_attentions=False):
+            from shgvqa_tpu.models.shgvqa import ShgVqaModel
+
+            stat = self.variable("batch_stats", "mu",
+                                 lambda: jnp.full((3,), 7.0))
+            # stats enter the loss so they WOULD get a gradient
+            out = ShgVqaModel(self.cfg, name="head")(batch, deterministic)
+            out["hg_logit"] = out["hg_logit"] + jnp.sum(stat.value) * 0.0 \
+                + jnp.sum(stat.value ** 2) * 1e-3
+            return out
+
+    monkeypatch.setenv("SHGVQA_FLAT_STATE", "0")
+    tr = Trainer(cfg.replace(output=str(tmp_path)), steps_per_epoch=2,
+                 model=StatModel(cfg))
+    from shgvqa_tpu.data.pipeline import Batcher
+
+    items = _items(cfg, n=4)
+    batcher = Batcher(items, batch_size=2, shuffle=False, seed=0)
+    first = next(batcher.epoch(0))
+    first = {k: v for k, v in first.items()
+             if k not in ("ques_id", "n_valid")}
+    tr.init_params(first)
+    tr.train(lambda e: batcher.epoch(e), evaluate=None)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(tr.params["batch_stats"]["mu"])),
+        np.full((3,), 7.0))
+
+
+def test_flat_mode_checkpoint_resume(tmp_path, monkeypatch):
+    """CURRENT checkpoint from flat mode restores params AND moments."""
+    from shgvqa_tpu.data.pipeline import Batcher
+
+    cfg = tiny_test_config(task="hgqa")
+    tr = _make_trainer(cfg, monkeypatch, True, tmp_path, "a")
+    items = _items(cfg, n=4)
+    batcher = Batcher(items, batch_size=2, shuffle=False, seed=0)
+    first = next(batcher.epoch(0))
+    first = {k: v for k, v in first.items()
+             if k not in ("ques_id", "n_valid")}
+    tr.init_params(first)
+    tr.train(lambda e: batcher.epoch(e), evaluate=None)
+    m_before = np.asarray(jax.device_get(tr._flat_state.m))
+    step_before = tr.step
+
+    tr2 = _make_trainer(cfg, monkeypatch, True, tmp_path, "b")
+    tr2.init_params(first)
+    tr2.ckpt = tr.ckpt
+    tr2.load("LAST")
+    assert tr2.step == step_before
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(tr2._flat_state.m)), m_before,
+        atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(tr.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(tr2.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)

@@ -91,3 +91,96 @@ def test_preprocess_and_augment_full():
         jnp.asarray(frames), jax.random.PRNGKey(0), 4, 32))
     assert out.shape == (4, 32, 32, 3)
     assert np.isfinite(out).all()
+
+
+def test_rand_augment_batch_matches_vmapped_per_clip():
+    """The batched formulation must sample and transform exactly like
+    vmap(rand_augment) (eq_stride=1 makes equalize exact)."""
+    import jax
+
+    from shgvqa_tpu.data.transforms import rand_augment, rand_augment_batch
+
+    rng = np.random.RandomState(0)
+    frames = rng.rand(6, 3, 24, 20, 3).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(7), 6)
+    ref = jax.vmap(rand_augment)(jnp.asarray(frames), keys)
+    got = rand_augment_batch(jnp.asarray(frames), keys, eq_stride=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_rand_augment_batch_many_keys_cover_all_ops():
+    """Sweep enough clips that every op id is sampled at least once in some
+    layer (14 ops, 64 clips x 2 layers), and outputs stay in [0, 1]."""
+    import jax
+
+    from shgvqa_tpu.data.transforms import (
+        _sample_rand_augment,
+        rand_augment,
+        rand_augment_batch,
+    )
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 64)
+    ops, applies, _ = jax.vmap(
+        lambda k: _sample_rand_augment(k, 2, 0.5))(keys)
+    effective = np.where(np.asarray(applies), np.asarray(ops), 0)
+    assert len(np.unique(effective)) >= 12, np.unique(effective)
+
+    rng = np.random.RandomState(1)
+    frames = rng.rand(64, 2, 16, 16, 3).astype(np.float32)
+    ref = jax.vmap(rand_augment)(jnp.asarray(frames), keys)
+    got = rand_augment_batch(jnp.asarray(frames), keys, eq_stride=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    assert float(jnp.min(got)) >= 0.0 and float(jnp.max(got)) <= 1.0
+
+
+def test_equalize_batch_strided_close_to_exact():
+    """eq_stride>1 estimates the histogram from a subsample; the LUT must
+    stay close to the exact one on natural-ish images."""
+    from shgvqa_tpu.data.transforms import op_equalize_batch
+
+    rng = np.random.RandomState(2)
+    # smooth-ish image: random walks, so histograms are non-degenerate;
+    # CDF-from-subsample error ~ 1/sqrt(samples) => 4k samples ~ 1.6%
+    base = np.cumsum(rng.randn(2, 4, 64, 64, 3), axis=2)
+    base = (base - base.min()) / (base.max() - base.min())
+    x = jnp.asarray(base.astype(np.float32))
+    exact = np.asarray(op_equalize_batch(x, stride=1))
+    approx = np.asarray(op_equalize_batch(x, stride=4))
+    assert np.mean(np.abs(exact - approx)) < 0.04
+
+
+def test_aug_mix_batch_matches_vmapped_per_clip():
+    import jax
+
+    from shgvqa_tpu.data.transforms import aug_mix, aug_mix_batch
+
+    rng = np.random.RandomState(4)
+    frames = rng.rand(4, 2, 16, 16, 3).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(11), 4)
+    ref = jax.vmap(aug_mix)(jnp.asarray(frames), keys)
+    got = aug_mix_batch(jnp.asarray(frames), keys, eq_stride=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_three_shear_rotate_close_to_bilinear():
+    """op_rotate uses the Paeth 3-shear decomposition (TPU-friendly 1-D
+    passes); bound its divergence from the 2-D bilinear oracle."""
+    from shgvqa_tpu.data.transforms import _affine_warp, op_rotate
+
+    rng = np.random.RandomState(5)
+    base = np.cumsum(np.cumsum(rng.randn(2, 32, 32, 3), axis=1), axis=2)
+    base = (base - base.min()) / (base.max() - base.min())
+    x = jnp.asarray(base.astype(np.float32))
+    deg = 8.7   # RandAugment magnitude 9/31 * 30
+    rad = np.deg2rad(deg)
+    oracle = _affine_warp(x, jnp.asarray(
+        [[np.cos(rad), np.sin(rad), 0.0],
+         [-np.sin(rad), np.cos(rad), 0.0]], dtype=np.float32))
+    got = op_rotate(x, jnp.float32(deg))
+    # interior agrees closely; borders differ by fill handling
+    diff = np.abs(np.asarray(got - oracle))[:, 4:-4, 4:-4]
+    assert np.mean(diff) < 0.01, np.mean(diff)
+    assert np.max(diff) < 0.2, np.max(diff)

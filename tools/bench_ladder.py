@@ -43,7 +43,7 @@ def main() -> None:
     from shgvqa_tpu.data.transforms import (
         NORM_STATS,
         normalize_clip,
-        rand_augment,
+        rand_augment_batch,
     )
     from shgvqa_tpu.models.backbone import make_backbone
     from shgvqa_tpu.models.shgvqa import ShgVqaModel, VideoShgVqaModel
@@ -104,7 +104,7 @@ def main() -> None:
     def f_aug(frames, key):
         x = frames.astype(jnp.float32) / 255.0
         keys = jax.random.split(key, x.shape[0])
-        x = jax.vmap(rand_augment)(x, keys)
+        x = rand_augment_batch(x, keys)
         return normalize_clip(x, mean, std).sum()
 
     results["augment_ms"] = timeit(f_aug, batch["frames"], rng)
