@@ -42,6 +42,12 @@ def main() -> None:
 
         pallas_attn.enable(True)
         cfg = cfg.replace(use_pallas_attention=True)
+    if os.environ.get("SHGVQA_BENCH_PALLAS_FFN", "1") == "1":
+        # fused FFN block (kernels/ffn.py): one Pallas call per site on the
+        # deterministic path; A/B'd on-chip round 2
+        from shgvqa_tpu.kernels import ffn as pallas_ffn
+
+        pallas_ffn.enable(True)
     model = VideoShgVqaModel(cfg)
     rng = jax.random.PRNGKey(0)
 

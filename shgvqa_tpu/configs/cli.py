@@ -129,6 +129,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lax.scan layer stacks (faster; different param tree)")
     p.add_argument("--pallasAttention", dest="use_pallas_attention",
                    action="store_true")
+    p.add_argument("--noPallasFFN", dest="use_pallas_ffn",
+                   action="store_false")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace to {output}/profile")
@@ -286,6 +288,7 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         remat=ns.remat,
         profile=ns.profile,
         use_pallas_attention=ns.use_pallas_attention,
+        use_pallas_ffn=ns.use_pallas_ffn,
     )
     cfg = cfg.replace(after_cross_attn_feats=ns.after_cross_attn_feats)
     cfg.validate()

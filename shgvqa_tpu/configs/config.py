@@ -218,6 +218,7 @@ class Config:
     remat: bool = False               # jax.checkpoint the encoder blocks
     profile: bool = False             # capture a jax.profiler trace
     use_pallas_attention: bool = False  # fused attention kernels (kernels/)
+    use_pallas_ffn: bool = True       # fused FFN block for eval/inference
     donate_state: bool = True
 
     def replace(self, **kw) -> "Config":

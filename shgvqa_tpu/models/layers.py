@@ -89,10 +89,15 @@ class LayerNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 return_params: bool = False) -> jnp.ndarray:
         feat = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (feat,))
         bias = self.param("bias", nn.initializers.zeros, (feat,))
+        if return_params:
+            # fused kernels (kernels/ffn.py) consume the f32 affine params
+            # directly; x is only used for its feature width
+            return scale, bias
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
@@ -237,7 +242,16 @@ class CrossAttLayer(nn.Module):
 
 
 class FFN(nn.Module):
-    """intermediate(gelu) -> output dense -> dropout -> LN(residual)."""
+    """intermediate(gelu) -> output dense -> dropout -> LN(residual).
+
+    With the fused kernel enabled (kernels/ffn.py) and dropout inactive
+    (deterministic — eval/inference), the whole block runs as one Pallas
+    call.  The dense weights are recovered through the modules themselves
+    (W = dense(I) - dense(0), b = dense(0)): two tiny extra matmuls that
+    keep the parameter tree IDENTICAL to the unfused path (checkpoints,
+    converters and parity tests see no difference), deliver exactly the
+    bf16-rounded values the unfused matmuls consume, and stay fully
+    differentiable."""
 
     intermediate_size: int
     dropout: float = 0.1
@@ -245,12 +259,31 @@ class FFN(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        h = Dense(self.intermediate_size, dtype=self.dtype,
-                  name="intermediate")(x)
+        from shgvqa_tpu.kernels import ffn as pallas_ffn
+
+        d = x.shape[-1]
+        dense_int = Dense(self.intermediate_size, dtype=self.dtype,
+                          name="intermediate")
+        dense_out = Dense(d, dtype=self.dtype, name="output")
+        ln = LayerNorm(dtype=self.dtype, name="ln")
+
+        if pallas_ffn.is_enabled() and deterministic:
+            eye_d = jnp.eye(d, dtype=self.dtype)
+            eye_f = jnp.eye(self.intermediate_size, dtype=self.dtype)
+            b1 = dense_int(jnp.zeros((1, d), self.dtype))
+            w1 = dense_int(eye_d) - b1
+            b2 = dense_out(jnp.zeros((1, self.intermediate_size),
+                                     self.dtype))
+            w2 = dense_out(eye_f) - b2
+            gamma, beta = ln(x, return_params=True)
+            return pallas_ffn.fused_ffn(
+                x, w1, b1[0], w2, b2[0], gamma, beta)
+
+        h = dense_int(x)
         h = gelu(h)
-        h = Dense(x.shape[-1], dtype=self.dtype, name="output")(h)
+        h = dense_out(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return LayerNorm(dtype=self.dtype, name="ln")(h + x)
+        return ln(h + x)
 
 
 class BertLayer(nn.Module):

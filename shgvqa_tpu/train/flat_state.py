@@ -60,6 +60,7 @@ class FlatSpec(NamedTuple):
     unravel: Callable[[jnp.ndarray], Any]
     n: int                   # true (unpadded) element count
     aux: Dict[str, Any]      # non-"params" collections (e.g. batch_stats)
+    masked: bool = True      # False = mask is all-ones, skip its multiplies
 
 
 def _pad2d(flat: jnp.ndarray) -> jnp.ndarray:
@@ -98,7 +99,8 @@ def build_flat_state(variables: Dict[str, Any],
         trainable=_pad2d(trainable),
         step=jnp.zeros((), jnp.int32),
     )
-    return state, FlatSpec(unravel=unravel, n=int(flat.shape[0]), aux=aux)
+    return state, FlatSpec(unravel=unravel, n=int(flat.shape[0]), aux=aux,
+                           masked=trainable_mask is not None)
 
 
 def flat_to_variables(state: FlatTrainState, spec: FlatSpec) -> Dict[str, Any]:
@@ -122,6 +124,7 @@ def make_flat_train_step(cfg, model, spec: FlatSpec, *, lr: float,
     sched_fn = SCHEDULES[schedule]
     unravel, n = spec.unravel, spec.n
     aux = spec.aux
+    masked = spec.masked
 
     def train_step(state: FlatTrainState, batch, rng):
         def loss_flat(flat2d):
@@ -133,7 +136,8 @@ def make_flat_train_step(cfg, model, spec: FlatSpec, *, lr: float,
 
         (_, metrics), g = jax.value_and_grad(
             loss_flat, has_aux=True)(state.flat)
-        g = g * state.trainable
+        if masked:
+            g = g * state.trainable
         gnorm = jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2))
         g = g * jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
         m = b1 * state.m + (1.0 - b1) * g
@@ -144,7 +148,8 @@ def make_flat_train_step(cfg, model, spec: FlatSpec, *, lr: float,
         else:
             lr_t = jnp.asarray(lr, jnp.float32)
         upd = -lr_t * (m / (jnp.sqrt(v) + eps) + weight_decay * state.flat)
-        upd = upd * state.trainable
+        if masked:
+            upd = upd * state.trainable
         new = FlatTrainState(flat=state.flat + upd, m=m, v=v,
                              trainable=state.trainable,
                              step=state.step + 1)

@@ -85,6 +85,9 @@ class Trainer:
         from shgvqa_tpu.train.metrics import MetricWriter, Profiler
 
         pallas_attn.enable(cfg.use_pallas_attention)
+        from shgvqa_tpu.kernels import ffn as pallas_ffn
+
+        pallas_ffn.enable(cfg.use_pallas_ffn)
         self.metrics = MetricWriter(cfg.output)
         self.profiler = Profiler(cfg.output,
                                  enabled=getattr(cfg, "profile", False))

@@ -135,8 +135,14 @@ def test_single_step_determinism():
         tr.init_params(batch)
         tr._build_steps()
         rng = jax.random.PRNGKey(0)
-        params, opt_state, metrics = tr._train_step(
-            tr.params, tr.opt_state, batch, rng)
+        if tr.flat_mode:
+            tr._flat_state, metrics = tr._flat_train_step(
+                tr._flat_state, batch, rng)
+            tr._sync_params_from_flat()
+            params = tr.params
+        else:
+            params, _, metrics = tr._train_step(
+                tr.params, tr.opt_state, batch, rng)
         return float(metrics["total_loss"]), params
 
     loss1, p1 = run()

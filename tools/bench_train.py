@@ -23,6 +23,7 @@ import numpy as np
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
     import optax
 
     from shgvqa_tpu.utils.compilation_cache import enable_compilation_cache
@@ -34,7 +35,9 @@ def main() -> None:
     from shgvqa_tpu.train.optimizer import make_optimizer
     from shgvqa_tpu.train.step import compute_losses
 
-    batch_size = int(os.environ.get("SHGVQA_BENCH_TRAIN_BATCH", "32"))
+    # b64 became optimal once flat-major state removed the optimizer tree
+    # churn (round 2: b32 295 ms, b64 489 ms = 131 clips/s; b128 spills)
+    batch_size = int(os.environ.get("SHGVQA_BENCH_TRAIN_BATCH", "64"))
     # frozen backbone is the STAR recipe (star.py:87-88) and avoids the
     # conv-backward path, which lowers ~50x slower than forward on this
     # platform (see axon-tpu notes); unfreeze with SHGVQA_BENCH_UNFREEZE=1
@@ -51,9 +54,7 @@ def main() -> None:
 
         pallas_attn.enable(True)
         cfg = cfg.replace(use_pallas_attention=True)
-    os.environ.setdefault("SHGVQA_FLAT_OPT", "1")  # verified at flagship size
     model = VideoShgVqaModel(cfg)
-    tx = make_optimizer(lr=1e-5, t_total=1000, warmup=0.1, flat=True)
 
     batch = _example_batch(cfg, batch_size=batch_size, with_labels=True)
     # uint8 frames (pipeline dtype); on-device normalization in the model
@@ -62,26 +63,57 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     params = jax.jit(lambda r, b: model.init(r, b, deterministic=True))(
         rng, batch)
-    opt_state = tx.init(params)
 
-    def loss_fn(p, b, k):
-        kd, ka = jax.random.split(k)
-        out = model.apply(p, b, deterministic=False,
-                          rngs={"dropout": kd, "augment": ka})
-        return compute_losses(cfg, out, b)
+    # flat-major state (train/flat_state.py), the Trainer's default on this
+    # platform; SHGVQA_FLAT_STATE=0 A/Bs the per-leaf tree path
+    if os.environ.get("SHGVQA_FLAT_STATE", "1") == "1":
+        from shgvqa_tpu.train.flat_state import (
+            build_flat_state,
+            make_flat_train_step,
+        )
 
-    # donate params/opt-state like the Trainer: reuses buffers in place,
-    # which also avoids per-output handle churn through the remote relay
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(p, o, b, k):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, b, k)
-        updates, o = tx.update(grads, o, p)
-        return optax.apply_updates(p, updates), o, metrics["total_loss"]
+        state, spec = build_flat_state(params)
+        del params
+        step_fn = make_flat_train_step(cfg, model, spec, lr=1e-5,
+                                       t_total=1000, warmup=0.1)
+
+        def train_step(carry, b, k):
+            st, _ = carry
+            st, metrics = step_fn(st, b, k)
+            return (st, metrics["total_loss"])
+
+        carry = (state, jnp.zeros(()))
+    else:
+        os.environ.setdefault("SHGVQA_FLAT_OPT", "1")
+        tx = make_optimizer(lr=1e-5, t_total=1000, warmup=0.1, flat=True)
+        opt_state = tx.init(params["params"])
+
+        def loss_fn(p, b, k):
+            kd, ka = jax.random.split(k)
+            out = model.apply(p, b, deterministic=False,
+                              rngs={"dropout": kd, "augment": ka})
+            return compute_losses(cfg, out, b)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def tree_step(p, o, b, k):
+            aux = {kk: v for kk, v in p.items() if kk != "params"}
+            (_, metrics), grads = jax.value_and_grad(
+                lambda pc, bb, kk: loss_fn({"params": pc, **aux}, bb, kk),
+                has_aux=True)(p["params"], b, k)
+            updates, o = tx.update(grads, o, p["params"])
+            new = {"params": optax.apply_updates(p["params"], updates), **aux}
+            return new, o, metrics["total_loss"]
+
+        def train_step(carry, b, k):
+            p, o, _ = carry
+            p, o, loss = tree_step(p, o, b, k)
+            return (p, o, loss)
+
+        carry = (params, opt_state, jnp.zeros(()))
 
     t0 = time.perf_counter()
-    params, opt_state, loss = train_step(params, opt_state, batch, rng)
-    _ = float(loss)
+    carry = train_step(carry, batch, rng)
+    _ = float(carry[-1])
     compile_s = time.perf_counter() - t0
 
     # enqueue all steps, fetch one scalar at the end: per-fetch relay
@@ -92,9 +124,8 @@ def main() -> None:
     iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
-        params, opt_state, loss = train_step(
-            params, opt_state, batch, jax.random.fold_in(rng, i))
-    _ = float(loss)
+        carry = train_step(carry, batch, jax.random.fold_in(rng, i))
+    _ = float(carry[-1])
     dt = time.perf_counter() - t0
     if prof:
         jax.profiler.stop_trace()
