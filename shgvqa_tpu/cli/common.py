@@ -124,6 +124,11 @@ def run_driver(dataset: str, argv=None) -> dict:
     from shgvqa_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # hardware RNG for dropout/augment bits on TPU: threefry spent ~25 ms/
+    # step at b64 (rbg A/B, ROUND2_NOTES); per-seed determinism retained
+    if (os.environ.get("SHGVQA_RBG", "1") == "1"
+            and jax.devices()[0].platform in ("tpu", "axon")):
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     print(f"shgvqa_tpu {dataset} driver: task={cfg.task} devices="
           f"{jax.device_count()}"

@@ -29,6 +29,10 @@ def main() -> None:
     from shgvqa_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # hardware RNG (see cli/common.py): 121 -> 127 clips/s at b64
+    if (os.environ.get("SHGVQA_RBG", "1") == "1"
+            and jax.devices()[0].platform in ("tpu", "axon")):
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     from __graft_entry__ import _example_batch, _flagship_cfg
     from shgvqa_tpu.models.shgvqa import VideoShgVqaModel
