@@ -53,6 +53,54 @@ class FrozenBatchNorm(nn.Module):
                           ).astype(self.dtype)
 
 
+class _StemKernel(nn.Module):
+    """Declares the stem conv kernel at the exact path nn.Conv would
+    ("<name>/kernel", same shape + he_normal init => bit-identical draws),
+    so the space-to-depth stem below keeps checkpoints and the weight
+    converters byte-compatible with the plain-conv formulation."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.he_normal(), self.shape)
+
+
+def space_to_depth_stem(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
+                        temporal_stride: int = 1) -> jnp.ndarray:
+    """EXACT re-expression of the stem conv(kT,7,7)/stride(.,2,2)/pad(3,3)
+    as a (kT,4,4)/stride(.,1,1) conv on 2x2 space-to-depth input (the
+    MLPerf ResNet trick): with r = 2u+v, tap ky = 2*du+v-1 over 4 block
+    rows at block padding (2,1).
+
+    MEASURED SLOWER on this platform and therefore NOT wired into the
+    backbones: at b32 the plain bf16 stem runs 9.3 ms vs 11.0 ms for this
+    form (round 2 A/B) — current libtpu handles 3-input-channel convs well
+    on its own, and the s2d transpose costs a full pass over the frames.
+    Kept (with its exactness tests) as the documented fallback should a
+    future platform regress on shallow-channel convs.
+
+    x: (B, T, H, W, C) with H, W even; kernel: (kT, 7, 7, C, O).
+    Returns (B, T', H/2, W/2, O), identical to the plain stem conv."""
+    import jax
+
+    b, t, h, w, c = x.shape
+    kt = kernel.shape[0]
+    x2 = x.reshape(b, t, h // 2, 2, w // 2, 2, c)
+    x2 = x2.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+        b, t, h // 2, w // 2, 4 * c)
+    kp = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+    o = kernel.shape[-1]
+    k2 = kp.reshape(kt, 4, 2, 4, 2, c, o).transpose(
+        0, 1, 3, 2, 4, 5, 6).reshape(kt, 4, 4, 4 * c, o)
+    return jax.lax.conv_general_dilated(
+        x2.astype(dtype), k2.astype(dtype),
+        window_strides=(temporal_stride, 1, 1),
+        padding=((kt // 2, kt // 2), (2, 1), (2, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
 def _conv(features: int, kernel: Tuple[int, int, int],
           strides: Tuple[int, int, int], dtype, name: str) -> nn.Conv:
     pad = tuple((k // 2, k // 2) for k in kernel)
