@@ -131,6 +131,8 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_true")
     p.add_argument("--noPallasFFN", dest="use_pallas_ffn",
                    action="store_false")
+    p.add_argument("--pallasFFNTrain", dest="use_pallas_ffn_train",
+                   action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace to {output}/profile")
@@ -289,6 +291,7 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         profile=ns.profile,
         use_pallas_attention=ns.use_pallas_attention,
         use_pallas_ffn=ns.use_pallas_ffn,
+        use_pallas_ffn_train=ns.use_pallas_ffn_train,
     )
     cfg = cfg.replace(after_cross_attn_feats=ns.after_cross_attn_feats)
     cfg.validate()

@@ -219,6 +219,7 @@ class Config:
     profile: bool = False             # capture a jax.profiler trace
     use_pallas_attention: bool = False  # fused attention kernels (kernels/)
     use_pallas_ffn: bool = True       # fused FFN block for eval/inference
+    use_pallas_ffn_train: bool = False  # fused FFN in training (opt-in)
     donate_state: bool = True
 
     def replace(self, **kw) -> "Config":

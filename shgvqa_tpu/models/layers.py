@@ -267,7 +267,9 @@ class FFN(nn.Module):
         dense_out = Dense(d, dtype=self.dtype, name="output")
         ln = LayerNorm(dtype=self.dtype, name="ln")
 
-        if pallas_ffn.is_enabled() and deterministic:
+        use_fused = (pallas_ffn.is_enabled() if deterministic
+                     else pallas_ffn.is_train_enabled())
+        if use_fused:
             eye_d = jnp.eye(d, dtype=self.dtype)
             eye_f = jnp.eye(self.intermediate_size, dtype=self.dtype)
             b1 = dense_int(jnp.zeros((1, d), self.dtype))
@@ -276,8 +278,13 @@ class FFN(nn.Module):
                                      self.dtype))
             w2 = dense_out(eye_f) - b2
             gamma, beta = ln(x, return_params=True)
-            return pallas_ffn.fused_ffn(
-                x, w1, b1[0], w2, b2[0], gamma, beta)
+            if deterministic:
+                return pallas_ffn.fused_ffn(
+                    x, w1, b1[0], w2, b2[0], gamma, beta)
+            rate = self.dropout
+            rng = self.make_rng("dropout") if rate > 0.0 else None
+            return pallas_ffn.fused_ffn_train(
+                x, w1, b1[0], w2, b2[0], gamma, beta, rate, rng)
 
         h = dense_int(x)
         h = gelu(h)

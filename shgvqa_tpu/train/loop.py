@@ -88,6 +88,7 @@ class Trainer:
         from shgvqa_tpu.kernels import ffn as pallas_ffn
 
         pallas_ffn.enable(cfg.use_pallas_ffn)
+        pallas_ffn.enable_train(cfg.use_pallas_ffn_train)
         self.metrics = MetricWriter(cfg.output)
         self.profiler = Profiler(cfg.output,
                                  enabled=getattr(cfg, "profile", False))

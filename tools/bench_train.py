@@ -58,6 +58,11 @@ def main() -> None:
 
         pallas_attn.enable(True)
         cfg = cfg.replace(use_pallas_attention=True)
+    if os.environ.get("SHGVQA_BENCH_PALLAS_FFN_TRAIN", "0") == "1":
+        from shgvqa_tpu.kernels import ffn as pallas_ffn
+
+        pallas_ffn.enable_train(True)
+        cfg = cfg.replace(use_pallas_ffn_train=True)
     model = VideoShgVqaModel(cfg)
 
     batch = _example_batch(cfg, batch_size=batch_size, with_labels=True)
