@@ -459,3 +459,115 @@ def fused_ffn(x: jnp.ndarray, w1, b1, w2, b2, gamma, beta,
                beta.reshape(1, -1).astype(jnp.float32),
                float(eps), bool(interpret or _FORCE_INTERPRET))
     return y.reshape(x.shape)
+
+
+# ---------------------------------------------------------------------------
+# Fused attention-output block: LN(x @ W + b + residual).
+#
+# BertAttOutput / BertOutput-without-gelu (models/layers.py:AttOutput) runs
+# at EVERY attention site (~30 per step at flagship dims): a (D, D) dense,
+# a residual add, and a LayerNorm — three elementwise passes over (M, D)
+# activations that XLA schedules as separate fusions around the matmul.
+# Same deterministic-path scope and parameter-recovery trick as the FFN
+# kernel above.
+# ---------------------------------------------------------------------------
+
+_BLOCK_M_OUT = 512     # W is only D*D bf16 (1.2 MB): big row tiles fit
+
+
+@functools.lru_cache(maxsize=None)
+def _make_out_ln(eps: float, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, w_ref, b_ref, r_ref, g_ref, bt_ref, o_ref):
+        xb = x_ref[...]
+        o = jax.lax.dot_general(
+            xb, w_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[...]
+        r = o + r_ref[...].astype(jnp.float32)
+        mean = jnp.mean(r, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(r - mean), axis=-1, keepdims=True)
+        y = (r - mean) * jax.lax.rsqrt(var + eps) * g_ref[...] + bt_ref[...]
+        o_ref[...] = y.astype(o_ref.dtype)
+
+    def call(x2, w, b, res2, gamma, beta):
+        m, d = x2.shape
+        mp = (m + _BLOCK_M_OUT - 1) // _BLOCK_M_OUT * _BLOCK_M_OUT
+        if mp != m:
+            x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+            res2 = jnp.pad(res2, ((0, mp - m), (0, 0)))
+        const = lambda i: (0, 0)  # noqa: E731
+        row = lambda i: (i, 0)    # noqa: E731
+        out = pl.pallas_call(
+            kernel,
+            grid=(mp // _BLOCK_M_OUT,),
+            in_specs=[
+                pl.BlockSpec((_BLOCK_M_OUT, d), row,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, d), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BLOCK_M_OUT, d), row,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((_BLOCK_M_OUT, d), row,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mp, d), x2.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mp * d * d,
+                bytes_accessed=(3 * mp * d + d * d) * 2,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(x2, w, b, res2, gamma, beta)
+        return out[:m]
+
+    return call
+
+
+def _out_ln_reference(x2, w, b, res2, gamma, beta, eps):
+    o = jax.lax.dot_general(
+        x2, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b
+    r = o + res2.astype(jnp.float32)
+    mean = jnp.mean(r, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(r - mean), axis=-1, keepdims=True)
+    y = (r - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    return y.astype(x2.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused_out_ln(x2, w, b, res2, gamma, beta, eps, interpret):
+    return _make_out_ln(float(eps), bool(interpret))(
+        x2, w, b, res2, gamma, beta)
+
+
+def _fused_out_ln_fwd(x2, w, b, res2, gamma, beta, eps, interpret):
+    y = _fused_out_ln(x2, w, b, res2, gamma, beta, eps, interpret)
+    return y, (x2, w, b, res2, gamma, beta)
+
+
+def _fused_out_ln_bwd(eps, interpret, res, dy):
+    x2, w, b, res2, gamma, beta = res
+    _, vjp = jax.vjp(
+        lambda *a: _out_ln_reference(*a, eps), x2, w, b, res2, gamma, beta)
+    return vjp(dy)
+
+
+_fused_out_ln.defvjp(_fused_out_ln_fwd, _fused_out_ln_bwd)
+
+
+def fused_out_ln(x, w, b, residual, gamma, beta, eps: float = 1e-12,
+                 interpret: bool = False):
+    """x, residual: (..., D); returns LN(x @ w + b + residual)."""
+    d = x.shape[-1]
+    y = _fused_out_ln(
+        x.reshape(-1, d), w, b.reshape(1, -1).astype(jnp.float32),
+        residual.reshape(-1, d),
+        gamma.reshape(1, -1).astype(jnp.float32),
+        beta.reshape(1, -1).astype(jnp.float32),
+        float(eps), bool(interpret or _FORCE_INTERPRET))
+    return y.reshape(x.shape)

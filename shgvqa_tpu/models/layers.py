@@ -185,7 +185,13 @@ class Attention(nn.Module):
 
 
 class AttOutput(nn.Module):
-    """dense -> dropout -> LN(residual) (BertAttOutput)."""
+    """dense -> dropout -> LN(residual) (BertAttOutput).
+
+    NOT fused: a Pallas fused_out_ln variant (kernels/ffn.py) measured
+    323 vs 328 clips/s on the inference bench — XLA already schedules the
+    (D, D) dense + residual + LN tightly, and the per-call overhead loses.
+    The kernel stays available with its tests as a recorded negative
+    result; only the FFN block (3072-wide intermediate) fuses profitably."""
 
     dropout: float = 0.1
     dtype: Dtype = jnp.float32

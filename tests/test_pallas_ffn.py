@@ -213,3 +213,29 @@ def test_ffn_module_train_path_uses_kernel(force_interpret):
         assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
     finally:
         pallas_ffn.enable_train(False)
+
+
+def test_fused_out_ln_differentiable(force_interpret):
+    import jax
+
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(16, 32), jnp.float32)
+    w = jnp.asarray(rng.randn(32, 32) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(32) * 0.1, jnp.float32)
+    res = jnp.asarray(rng.randn(16, 32), jnp.float32)
+    gamma = jnp.asarray(1 + 0.1 * rng.randn(32), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.randn(32), jnp.float32)
+
+    def f_fused(x, w):
+        return jnp.sum(pallas_ffn.fused_out_ln(
+            x, w, b, res, gamma, beta, interpret=True) ** 2)
+
+    def f_ref(x, w):
+        return jnp.sum(pallas_ffn._out_ln_reference(
+            x, w, b.reshape(1, -1), res, gamma.reshape(1, -1),
+            beta.reshape(1, -1), 1e-12) ** 2)
+
+    for got, want in zip(jax.grad(f_fused, argnums=(0, 1))(x, w),
+                         jax.grad(f_ref, argnums=(0, 1))(x, w)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
