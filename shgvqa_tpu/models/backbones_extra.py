@@ -109,14 +109,58 @@ class ResNeXt101(nn.Module):
 
 
 class SlowFastR50(nn.Module):
-    """Two-pathway SlowFast-R50 (alpha=4, beta=1/8) with time-strided
-    lateral connections; returns channel-concat features at FAST temporal
-    resolution: (B, T, H, W, 3) -> (B, T, H/32, W/32, 2048+256)."""
+    """Two-pathway SlowFast (alpha=4, beta=1/8) — pytorchvideo
+    ``create_slowfast`` topology exactly, so ``tools/convert_slowfast.py``
+    can load the torch.hub ``slowfast_r50`` / ``slowfast_r101`` checkpoints
+    the reference depends on (``video_encoder.py:55-79``).
+
+    pytorchvideo facts reproduced here (hub SLOWFAST_8x8_R50):
+    - stems: slow conv(1,7,7)/s(1,2,2) width 64; fast conv(5,7,7)/s(1,2,2)
+      width 64/beta_inv = 8; both BN+ReLU+maxpool(1,3,3)/s(1,2,2).
+    - FuseFastToSlow after the stem and after stages 1-3 (NOT after stage
+      4): conv_fast_to_slow kernel (7,1,1), stride (alpha,1,1), padding
+      (3,0,0), out = fast_channels * fusion_ratio(2), then BN + ReLU, then
+      channel-concat [slow, fused].
+    - slow stage inner widths (64,128,256,512), outs (256,512,1024,2048),
+      temporal conv_a kernels (1,1,3,3); fast = slow/beta_inv widths with
+      temporal kernel 3 in every stage; spatial stride 2 at stages 2-4.
+    - the reference replaces the head AND the pool with Identity
+      (``video_encoder.py:58-59``) so the torch net yields the raw
+      [slow, fast] feature-map list.
+
+    Output contract (TPU-side design, unchanged): the two pathways are
+    channel-concatenated at FAST temporal resolution (each slow step
+    repeated alpha times) so the conv tokenizer's two valid kernel-5
+    temporal convs still apply: (B, T, H, W, 3) ->
+    (B, T, H/32, W/32, 2048+256)."""
 
     dtype: Dtype = jnp.float32
     alpha: int = 4
     beta_inv: int = 8
+    fusion_ratio: int = 2
+    fusion_kernel: int = 7
     depths: Sequence[int] = (3, 4, 6, 3)
+    # slow-pathway widths; fast = width // beta_inv (toy-size overridable)
+    stem_width: int = 64
+    mids: Sequence[int] = (64, 128, 256, 512)
+    outs: Sequence[int] = (256, 512, 1024, 2048)
+
+    def _fuse(self, idx: int, slow: jnp.ndarray,
+              fast: jnp.ndarray) -> jnp.ndarray:
+        """FuseFastToSlow: time-strided conv + BN + ReLU on the fast
+        pathway, channel-concat onto slow (order [slow, fused])."""
+        dt = self.dtype
+        fk = self.fusion_kernel
+        out_ch = fast.shape[-1] * self.fusion_ratio
+        lat = nn.Conv(
+            out_ch, kernel_size=(fk, 1, 1), strides=(self.alpha, 1, 1),
+            padding=((fk // 2, fk // 2), (0, 0), (0, 0)), use_bias=False,
+            dtype=dt, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.he_normal(),
+            name=f"fuse_{idx}_conv")(fast)
+        lat = FrozenBatchNorm(out_ch, dtype=dt, name=f"fuse_{idx}_bn")(lat)
+        lat = nn.relu(lat)
+        return jnp.concatenate([slow, lat], axis=-1)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -124,16 +168,18 @@ class SlowFastR50(nn.Module):
 
         dt = self.dtype
         x = x.astype(dt)
+        # PackPathway transform equivalent: slow sees every alpha-th frame
         slow_in = x[:, :: self.alpha]
         fast_in = x
 
-        # stems
-        slow = _conv(64, (1, 7, 7), (1, 2, 2), dt, "slow_stem_conv")(slow_in)
-        slow = FrozenBatchNorm(64, dtype=dt, name="slow_stem_bn")(slow)
+        slow = _conv(self.stem_width, (1, 7, 7), (1, 2, 2), dt,
+                     "slow_stem_conv")(slow_in)
+        slow = FrozenBatchNorm(self.stem_width, dtype=dt,
+                               name="slow_stem_bn")(slow)
         slow = nn.relu(slow)
         slow = nn.max_pool(slow, (1, 3, 3), strides=(1, 2, 2),
                            padding=((0, 0), (1, 1), (1, 1)))
-        fast_w = 64 // self.beta_inv
+        fast_w = self.stem_width // self.beta_inv
         fast = _conv(fast_w, (5, 7, 7), (1, 2, 2), dt, "fast_stem_conv")(
             fast_in)
         fast = FrozenBatchNorm(fast_w, dtype=dt, name="fast_stem_bn")(fast)
@@ -141,30 +187,25 @@ class SlowFastR50(nn.Module):
         fast = nn.max_pool(fast, (1, 3, 3), strides=(1, 2, 2),
                            padding=((0, 0), (1, 1), (1, 1)))
 
-        slow_mids = (64, 128, 256, 512)
-        slow_outs = (256, 512, 1024, 2048)
+        slow = self._fuse(0, slow, fast)
+
         slow_tk = (1, 1, 3, 3)
-        fast_tk = (3, 3, 3, 3)
         strides = (1, 2, 2, 2)
         for i in range(4):
-            # lateral: fast -> slow, time-strided conv matching alpha
-            lat = _conv(
-                2 * (slow_mids[i] // self.beta_inv) * 4 // 4,
-                (5, 1, 1), (self.alpha, 1, 1), dt, f"lateral_{i}",
-            )(fast)
-            slow = jnp.concatenate([slow, lat], axis=-1)
             slow = ResStage(
-                depth=self.depths[i], mid=slow_mids[i], out=slow_outs[i],
+                depth=self.depths[i], mid=self.mids[i], out=self.outs[i],
                 temporal_kernel=slow_tk[i], spatial_stride=strides[i],
                 dtype=dt, name=f"slow_res_{i + 2}",
             )(slow)
             fast = ResStage(
                 depth=self.depths[i],
-                mid=slow_mids[i] // self.beta_inv,
-                out=slow_outs[i] // self.beta_inv,
-                temporal_kernel=fast_tk[i], spatial_stride=strides[i],
+                mid=self.mids[i] // self.beta_inv,
+                out=self.outs[i] // self.beta_inv,
+                temporal_kernel=3, spatial_stride=strides[i],
                 dtype=dt, name=f"fast_res_{i + 2}",
             )(fast)
+            if i < 3:
+                slow = self._fuse(i + 1, slow, fast)
 
         # fuse at FAST temporal resolution so the conv tokenizer's two
         # valid kernel-5 temporal convs (T -> T-8) still apply: repeat each
