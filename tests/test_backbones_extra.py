@@ -30,7 +30,8 @@ def test_mvit_geometry():
     from shgvqa_tpu.models.mvit import MViTB
     import jax, jax.numpy as jnp
 
-    m = MViTB(embed_dim=8, depths=(1, 1, 1, 1), heads=(1, 1, 2, 2))
+    m = MViTB(embed_dim=8, depth=4, num_heads=1, stage_blocks=(1, 2, 3),
+              kv_stride=(1, 4, 4))
     x = jnp.zeros((1, 8, 64, 64, 3))
     p = m.init(jax.random.PRNGKey(0), x)
     out = m.apply(p, x)
