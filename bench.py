@@ -42,6 +42,14 @@ def main() -> None:
 
         pallas_attn.enable(True)
         cfg = cfg.replace(use_pallas_attention=True)
+    if os.environ.get("SHGVQA_BENCH_PALLAS_DEC", "0") == "1":
+        # decoder-scoped fused attention: measured SLOWER (316 vs 328
+        # clips/s) — the DETR MHA softmax does lower to a pathological
+        # transposed-layout convert (~3 ms at b32), but 20 small kernel
+        # launches cost more.  Kept opt-in as a recorded negative result.
+        from shgvqa_tpu.kernels import attention as pallas_attn
+
+        pallas_attn.enable_decoder(True)
     if os.environ.get("SHGVQA_BENCH_PALLAS_FFN", "1") == "1":
         # fused FFN block (kernels/ffn.py): one Pallas call per site on the
         # deterministic path; A/B'd on-chip round 2

@@ -44,20 +44,37 @@ import jax.numpy as jnp
 import numpy as np
 
 _ENABLED = False
+_DECODER_ENABLED = False
 
 def enable(on: bool = True) -> None:
     global _ENABLED
     _ENABLED = on
 
 
-def is_enabled() -> bool:
-    if not _ENABLED:
-        return False
+def enable_decoder(on: bool = True) -> None:
+    """Scope the fused kernel to the DETR decoder MHA sites only.  The big
+    encoder attentions lower well under XLA (round-2 A/B: 307 vs 322
+    clips/s with the kernel everywhere), but the decoder's softmax+convert
+    materializes a transposed (B, H, Q, K) layout that costs ~8 ms/step at
+    b32 — the fused kernel never materializes probs at all."""
+    global _DECODER_ENABLED
+    _DECODER_ENABLED = on
+
+
+def _platform_ok() -> bool:
     try:
         platform = jax.devices()[0].platform
     except Exception:  # noqa: BLE001
         return False
     return platform in ("tpu", "axon")
+
+
+def is_enabled() -> bool:
+    return _ENABLED and _platform_ok()
+
+
+def is_decoder_enabled() -> bool:
+    return (_ENABLED or _DECODER_ENABLED) and _platform_ok()
 
 
 def _decompose_mask(mask, b, h, lq, lk):

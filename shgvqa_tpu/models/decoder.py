@@ -61,7 +61,7 @@ class TorchMHA(nn.Module):
 
         from shgvqa_tpu.kernels import attention as pallas_attn
 
-        if pallas_attn.is_enabled():
+        if pallas_attn.is_decoder_enabled():
             rate = 0.0 if deterministic else self.dropout
             rng = self.make_rng("dropout") if rate > 0.0 else None
             out = pallas_attn.fused_attention(

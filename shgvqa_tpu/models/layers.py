@@ -34,8 +34,18 @@ bert_kernel_init = nn.initializers.normal(stddev=0.02)
 
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact (erf) GeLU, matching torch.nn.functional.gelu default."""
-    return jax.nn.gelu(x, approximate=False)
+    """Exact (erf) GeLU, matching torch.nn.functional.gelu default.
+
+    Written as x/2 * (1 + erf(x/sqrt(2))) — torch's own formulation —
+    rather than jax.nn.gelu(approximate=False), whose erfc(-x/sqrt2) form
+    lowers on TPU with a sign-bit bookkeeping pass (pred compare +
+    shift-left bit-pack + u16 reduce_or fused into the surrounding ops:
+    profiled round 2 inside the 14 ms tokenizer conv fusion).  The two
+    differ only where 1+erf cancels (x < -3.8, where gelu(x) is below
+    bf16 resolution anyway)."""
+    x32 = x.astype(jnp.float32)
+    y = x32 * 0.5 * (1.0 + jax.lax.erf(x32 * 0.7071067811865476))
+    return y.astype(x.dtype)
 
 
 def extend_mask(mask: jnp.ndarray, dtype: Dtype) -> jnp.ndarray:
