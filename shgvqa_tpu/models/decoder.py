@@ -18,6 +18,7 @@ normal(0.02).  We reproduce exactly that split.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -69,6 +70,21 @@ class TorchMHA(nn.Module):
                 v.transpose(0, 2, 1, 3), attn_mask,
                 dropout_rate=rate, dropout_rng=rng,
             ).transpose(0, 2, 1, 3)
+            out = out.reshape(out.shape[0], out.shape[1], d)
+        elif deterministic and os.environ.get("SHGVQA_DEC_SDPA", "1") == "1":
+            # jax.nn.dot_product_attention: same math (f32 logits,
+            # 1/sqrt(hd) scale, additive bias), but XLA's canonical SDPA
+            # pattern avoids the transposed-layout probs materialization
+            # the hand-written einsum pair produces in-model (profiled
+            # 6.6 ms at b64 for one decoder layer).  Deterministic only:
+            # the reference drops out the PROBS, which sdpa can't express.
+            bias = None
+            if attn_mask is not None:
+                bias = jnp.broadcast_to(
+                    attn_mask.astype(jnp.float32), (1, 1) + attn_mask.shape
+                ) if attn_mask.ndim == 2 else attn_mask.astype(jnp.float32)
+            out = jax.nn.dot_product_attention(
+                q, k, v, bias=bias, implementation="xla")
             out = out.reshape(out.shape[0], out.shape[1], d)
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)

@@ -36,9 +36,14 @@ def main() -> None:
     from shgvqa_tpu.models.shgvqa import VideoShgVqaModel
 
     cfg = _flagship_cfg()
+    if os.environ.get("SHGVQA_BENCH_PALLAS_FFN", "1") == "1":
+        # match bench.py's default config (fused FFN block on)
+        from shgvqa_tpu.kernels import ffn as pallas_ffn
+
+        pallas_ffn.enable(True)
     model = VideoShgVqaModel(cfg)
     rng = jax.random.PRNGKey(0)
-    bsz = int(os.environ.get("SHGVQA_PROFILE_BATCH", "32"))
+    bsz = int(os.environ.get("SHGVQA_PROFILE_BATCH", "64"))
 
     batch = _example_batch(cfg, batch_size=bsz, seed=0)
     batch["frames"] = (batch["frames"] * 255.0).astype(np.uint8)
