@@ -95,7 +95,8 @@ def build_parser() -> argparse.ArgumentParser:
                             "rand_aug_slowfast"])
     p.add_argument("--backbone", default="slow_r50",
                    choices=["slow_r50", "slowfast_r50", "slowfast_r101",
-                            "resnext101", "video_swin", "mvit_B"])
+                            "resnext101", "video_swin", "mvit_B",
+                            "video_swin_impl"])
     p.add_argument("--afterCrossAttnFeats", dest="after_cross_attn_feats",
                    action="store_true")
 

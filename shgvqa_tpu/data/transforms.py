@@ -33,6 +33,9 @@ NORM_STATS: Dict[str, Tuple[Tuple[float, ...], Tuple[float, ...]]] = {
     "slowfast_r101": ((0.45, 0.45, 0.45), (0.225, 0.225, 0.225)),
     "resnext101": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
     "mvit_B": ((0.45, 0.45, 0.45), (0.225, 0.225, 0.225)),
+    # beyond-reference implemented Swin trunk: ImageNet stats (official
+    # Video-Swin kinetics pipeline)
+    "video_swin_impl": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
 }
 
 

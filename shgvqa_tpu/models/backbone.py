@@ -223,24 +223,37 @@ def _make_mvit(dtype):
     return MViTB(dtype=dtype)
 
 
+def _make_video_swin(dtype):
+    from shgvqa_tpu.models.video_swin import VideoSwin
+
+    return VideoSwin(dtype=dtype)
+
+
 BACKBONES = {
     "slow_r50": lambda dtype: SlowR50(dtype=dtype),
     "resnext101": _make_resnext,
     "slowfast_r50": _make_slowfast_r50,
     "slowfast_r101": _make_slowfast_r101,
     "mvit_B": _make_mvit,
+    # beyond-reference: the reference NYIs video_swin; our implemented
+    # Swin-B trunk registers under an _impl suffix so plain 'video_swin'
+    # keeps exact reference behavior (NotImplementedError)
+    "video_swin_impl": _make_video_swin,
 }
 
 
 def make_backbone(name: str, dtype=jnp.float32) -> nn.Module:
     """Backbone registry (video_encoder.py backbone_dict equivalent):
     slow_r50 (every published recipe), resnext101 (per-frame 2D),
-    slowfast_r50/r101 (two-pathway), mvit_B (multiscale ViT).  video_swin
+    slowfast_r50/r101 (two-pathway), mvit_B (multiscale ViT).  'video_swin'
     raises NotImplementedError exactly like the reference
-    (video_encoder.py:24)."""
+    (video_encoder.py:92-95); 'video_swin_impl' selects our implemented
+    Video Swin-B trunk (models/video_swin.py, beyond-reference)."""
     if name not in BACKBONES:
         raise NotImplementedError(
             f"backbone '{name}' not implemented; available: "
             f"{sorted(BACKBONES)}"
+            + (" ('video_swin_impl' provides the implemented Swin trunk)"
+               if name == "video_swin" else "")
         )
     return BACKBONES[name](dtype)
