@@ -81,3 +81,22 @@ def test_worker_env_is_scrubbed():
     assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
     assert captured["argv"][1].endswith("__graft_entry__.py")
     assert captured["argv"][2:] == ["multichip", "8"]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mp", [1, 4])
+def test_dryrun_multichip_mesh_layouts(mp):
+    """The dp x tp layout is configurable (SHGVQA_MESH_MP): pure-DP 8x1 and
+    wider-TP 2x4 must both compile and execute on the virtual mesh, not just
+    the default 4x2."""
+    code = (
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "print('PARENT_OK')\n"
+    )
+    env = _hostile_env(SHGVQA_MESH_MP=str(mp))
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout
