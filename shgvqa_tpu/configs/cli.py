@@ -130,6 +130,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lax.scan layer stacks (faster; different param tree)")
     p.add_argument("--pallasAttention", dest="use_pallas_attention",
                    action="store_true")
+    p.add_argument("--noPallasAttentionTrain",
+                   dest="use_pallas_attention_train", action="store_false",
+                   help="disable the fused attention kernel at training "
+                        "sites (on by default; see kernels/attention.py)")
     p.add_argument("--noPallasFFN", dest="use_pallas_ffn",
                    action="store_false")
     p.add_argument("--pallasFFNTrain", dest="use_pallas_ffn_train",
@@ -291,6 +295,7 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         remat=ns.remat,
         profile=ns.profile,
         use_pallas_attention=ns.use_pallas_attention,
+        use_pallas_attention_train=ns.use_pallas_attention_train,
         use_pallas_ffn=ns.use_pallas_ffn,
         use_pallas_ffn_train=ns.use_pallas_ffn_train,
     )

@@ -217,9 +217,17 @@ class Config:
     param_dtype: str = "float32"
     remat: bool = False               # jax.checkpoint the encoder blocks
     profile: bool = False             # capture a jax.profiler trace
-    use_pallas_attention: bool = False  # fused attention kernels (kernels/)
+    use_pallas_attention: bool = False  # fused attention EVERYWHERE (A/B knob)
+    # fused attention at TRAINING sites only (in-kernel probs dropout skips
+    # the u32 dropout-bit tensors XLA materializes; b64 527 -> 490 ms/step).
+    # Inference keeps the XLA path, which measured faster (322 vs 307).
+    use_pallas_attention_train: bool = True
     use_pallas_ffn: bool = True       # fused FFN block for eval/inference
-    use_pallas_ffn_train: bool = False  # fused FFN in training (opt-in)
+    # fused FFN in training: NEUTRAL alone (128.2 vs 126.9 clips/s) and
+    # PATHOLOGICAL combined with the train attention kernel (62 vs 134
+    # clips/s at b64, round-2 continuation A/B) — keep opt-in, never
+    # combine with use_pallas_attention_train
+    use_pallas_ffn_train: bool = False
     donate_state: bool = True
 
     def replace(self, **kw) -> "Config":

@@ -44,11 +44,26 @@ import jax.numpy as jnp
 import numpy as np
 
 _ENABLED = False
+_TRAIN_ENABLED = True
 _DECODER_ENABLED = False
 
 def enable(on: bool = True) -> None:
     global _ENABLED
     _ENABLED = on
+
+
+def enable_train(on: bool = True) -> None:
+    """Scope the fused kernel to TRAINING attention sites (deterministic=
+    False).  The split exists because the A/B verdicts differ by direction:
+    inference loses with the kernel (307 vs 322 clips/s — XLA's fused
+    softmax path wins when there is no dropout), while training WINS
+    (b64: 527 -> 490 ms/step) because the XLA path materializes f32 probs
+    plus a u32[B,H,L,L] dropout-bit tensor per layer (~474 MB each at b64,
+    plus layout-fix copies) that the kernel's in-kernel dropout never
+    writes.  Default ON (platform-gated); cfg.use_pallas_attention_train /
+    --noPallasAttentionTrain control it from the drivers."""
+    global _TRAIN_ENABLED
+    _TRAIN_ENABLED = on
 
 
 def enable_decoder(on: bool = True) -> None:
@@ -71,6 +86,10 @@ def _platform_ok() -> bool:
 
 def is_enabled() -> bool:
     return _ENABLED and _platform_ok()
+
+
+def is_train_enabled() -> bool:
+    return _TRAIN_ENABLED and _platform_ok()
 
 
 def is_decoder_enabled() -> bool:

@@ -62,7 +62,12 @@ class TorchMHA(nn.Module):
 
         from shgvqa_tpu.kernels import attention as pallas_attn
 
-        if pallas_attn.is_decoder_enabled():
+        # training defaults to the fused kernel everywhere (in-kernel probs
+        # dropout; the b64 train A/B that measured the win had it on at the
+        # decoder sites too); inference keeps the sdpa/einsum paths below
+        # unless is_decoder_enabled() opts the kernel in
+        if pallas_attn.is_decoder_enabled() or (
+                not deterministic and pallas_attn.is_train_enabled()):
             rate = 0.0 if deterministic else self.dropout
             rng = self.make_rng("dropout") if rate > 0.0 else None
             out = pallas_attn.fused_attention(

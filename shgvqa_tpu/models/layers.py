@@ -166,7 +166,13 @@ class Attention(nn.Module):
 
         from shgvqa_tpu.kernels import attention as pallas_attn
 
-        use_kernel = pallas_attn.is_enabled() and not return_probs
+        # kernel scope: everywhere when globally enabled; training-only by
+        # default (see kernels/attention.enable_train — inference loses,
+        # training wins because in-kernel dropout skips the u32 bit tensors)
+        use_kernel = (
+            pallas_attn.is_enabled()
+            or (not deterministic and pallas_attn.is_train_enabled())
+        ) and not return_probs
         if use_kernel:
             rate = 0.0 if deterministic else self.dropout
             rng = self.make_rng("dropout") if rate > 0.0 else None

@@ -61,6 +61,7 @@ class FlatSpec(NamedTuple):
     n: int                   # true (unpadded) element count
     aux: Dict[str, Any]      # non-"params" collections (e.g. batch_stats)
     masked: bool = True      # False = mask is all-ones, skip its multiplies
+    layout: str = "2d"       # "2d" = (N/256, 256) lane-aligned; "1d" = (N,)
 
 
 def _pad2d(flat: jnp.ndarray) -> jnp.ndarray:
@@ -71,11 +72,20 @@ def _pad2d(flat: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_flat_state(variables: Dict[str, Any],
-                     trainable_mask: Optional[Any] = None
+                     trainable_mask: Optional[Any] = None,
+                     layout: str = "2d",
                      ) -> Tuple[FlatTrainState, FlatSpec]:
     """variables: the full model.init output ({'params': ..., maybe
     'batch_stats': ...}).  Only the 'params' collection enters the flat
-    vector; the rest rides along as fixed aux inputs."""
+    vector; the rest rides along as fixed aux inputs.
+
+    layout: "2d" keeps the state (N/256, 256) lane-aligned (safe against the
+    libtpu horizontal-fusion tiling pathology that hits MANY small 1-D
+    arrays); "1d" keeps it a plain (N,) vector, which removes the two
+    full-state tiled<->linear reshape copies (~4 ms each at flagship size,
+    b64 profile) the 2-D form pays around unravel/re-ravel each step — safe
+    here because the state is a SINGLE large array, never horizontally
+    fused."""
     from jax.flatten_util import ravel_pytree
 
     params = variables["params"]
@@ -92,15 +102,23 @@ def build_flat_state(variables: Dict[str, Any],
         trainable, _ = ravel_pytree(mask_tree)
     else:
         trainable = jnp.ones_like(flat)
+    pack = _pad2d if layout == "2d" else (lambda x: x)
     state = FlatTrainState(
-        flat=_pad2d(flat),
-        m=jnp.zeros_like(_pad2d(flat)),
-        v=jnp.zeros_like(_pad2d(flat)),
-        trainable=_pad2d(trainable),
+        flat=pack(flat),
+        m=jnp.zeros_like(pack(flat)),
+        v=jnp.zeros_like(pack(flat)),
+        trainable=pack(trainable),
         step=jnp.zeros((), jnp.int32),
     )
     return state, FlatSpec(unravel=unravel, n=int(flat.shape[0]), aux=aux,
-                           masked=trainable_mask is not None)
+                           masked=trainable_mask is not None, layout=layout)
+
+
+def repack_like(arr: jnp.ndarray, spec: FlatSpec) -> jnp.ndarray:
+    """Repack a stored flat-state array (either layout) into spec.layout —
+    lets a checkpoint written under one layout resume under the other."""
+    flat = jnp.asarray(arr).reshape(-1)[:spec.n]
+    return _pad2d(flat) if spec.layout == "2d" else flat
 
 
 def flat_to_variables(state: FlatTrainState, spec: FlatSpec) -> Dict[str, Any]:

@@ -16,6 +16,7 @@ pipeline, device placement + collectives in parallel/, losses in train/step.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
@@ -85,10 +86,17 @@ class Trainer:
         from shgvqa_tpu.train.metrics import MetricWriter, Profiler
 
         pallas_attn.enable(cfg.use_pallas_attention)
+        pallas_attn.enable_train(cfg.use_pallas_attention_train)
         from shgvqa_tpu.kernels import ffn as pallas_ffn
 
         pallas_ffn.enable(cfg.use_pallas_ffn)
         pallas_ffn.enable_train(cfg.use_pallas_ffn_train)
+        if cfg.use_pallas_ffn_train and cfg.use_pallas_attention_train:
+            print(
+                "WARNING: --pallasFFNTrain together with the (default) "
+                "training attention kernel measured PATHOLOGICAL (62 vs "
+                "134 clips/s at b64); pass --noPallasAttentionTrain with "
+                "it or drop --pallasFFNTrain", flush=True)
         self.metrics = MetricWriter(cfg.output)
         self.profiler = Profiler(cfg.output,
                                  enabled=getattr(cfg, "profile", False))
@@ -111,7 +119,8 @@ class Trainer:
             from shgvqa_tpu.train.flat_state import build_flat_state
 
             self._flat_state, self._flat_spec = build_flat_state(
-                self.params, self._trainable_mask)
+                self.params, self._trainable_mask,
+                layout=os.environ.get("SHGVQA_FLAT_LAYOUT", "1d"))
             self.opt_state = None
         else:
             self.opt_state = self.tx.init(self.params["params"])
@@ -451,14 +460,27 @@ class Trainer:
         self._reset_opt()
 
     def load(self, name_or_path: str) -> None:
-        state = self.ckpt.restore(name_or_path, template=self.state_dict())
+        try:
+            state = self.ckpt.restore(name_or_path,
+                                      template=self.state_dict())
+        except Exception:
+            if not self.flat_mode:
+                raise
+            # shape-mismatched template — the checkpoint was written under
+            # the other flat layout ((N/256,256) vs (N,)); raw-restore and
+            # repack below
+            state = self.ckpt.restore(name_or_path)
         self.params = state["params"]
         if self.flat_mode:
             self._reset_opt()   # rebuilds flat from restored params
             if state.get("opt_state") is not None:
+                # repack: the checkpoint may have been written under the
+                # other flat layout ((N/256,256) vs (N,))
+                from shgvqa_tpu.train.flat_state import repack_like
+
                 self._flat_state = self._flat_state._replace(
-                    m=jnp.asarray(state["opt_state"]["m"]),
-                    v=jnp.asarray(state["opt_state"]["v"]),
+                    m=repack_like(state["opt_state"]["m"], self._flat_spec),
+                    v=repack_like(state["opt_state"]["v"], self._flat_spec),
                     step=jnp.asarray(int(state["step"]), jnp.int32))
         else:
             self.opt_state = state["opt_state"]

@@ -175,3 +175,51 @@ def test_flat_mode_checkpoint_resume(tmp_path, monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(tr.params)),
                     jax.tree_util.tree_leaves(jax.device_get(tr2.params))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_flat_layout_1d_matches_2d():
+    """The "1d" state layout (plain (N,) vector, no lane padding) is a pure
+    repacking: 3 steps produce the same parameters as the default
+    (N/256, 256) layout up to clip-norm reduction-order rounding.  Uses a
+    param count that is NOT a multiple of 256 so the 2-D path actually
+    pads."""
+    import flax.linen as nn
+
+    from shgvqa_tpu.train.flat_state import (
+        build_flat_state,
+        flat_to_variables,
+        make_flat_train_step,
+    )
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, batch, deterministic=True):
+            h = nn.Dense(7)(batch["x"])
+            return {"y": nn.Dense(5)(h)}
+
+    model = Toy()
+    batch = {"x": jnp.arange(12.0).reshape(3, 4)}
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    def losses(cfg, outputs, batch):
+        loss = jnp.sum(outputs["y"] ** 2)
+        return loss, {"total_loss": loss}
+
+    finals = {}
+    for layout in ("2d", "1d"):
+        state, spec = build_flat_state(variables, layout=layout)
+        assert spec.layout == layout
+        assert state.flat.ndim == (2 if layout == "2d" else 1)
+        assert spec.n % 256 != 0
+        step = make_flat_train_step(
+            None, model, spec, lr=1e-2, t_total=-1, compute_losses=losses,
+            donate=False)
+        for i in range(3):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        finals[layout] = jax.device_get(flat_to_variables(state, spec))
+
+    a = jax.tree_util.tree_leaves(finals["2d"]["params"])
+    b = jax.tree_util.tree_leaves(finals["1d"]["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)

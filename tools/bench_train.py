@@ -58,6 +58,13 @@ def main() -> None:
 
         pallas_attn.enable(True)
         cfg = cfg.replace(use_pallas_attention=True)
+    # training-site fused attention is the shipped DEFAULT (b64 527 -> 490
+    # ms/step: in-kernel probs dropout skips the u32 bit tensors); A/B off:
+    if os.environ.get("SHGVQA_BENCH_PALLAS_ATTN_TRAIN", "1") == "0":
+        from shgvqa_tpu.kernels import attention as pallas_attn
+
+        pallas_attn.enable_train(False)
+        cfg = cfg.replace(use_pallas_attention_train=False)
     if os.environ.get("SHGVQA_BENCH_PALLAS_FFN_TRAIN", "0") == "1":
         from shgvqa_tpu.kernels import ffn as pallas_ffn
 
@@ -81,7 +88,10 @@ def main() -> None:
             make_flat_train_step,
         )
 
-        state, spec = build_flat_state(params)
+        # "1d" removes the per-step tiled<->linear full-state reshapes
+        # (b64: 490 -> 479 ms); A/B via SHGVQA_FLAT_LAYOUT
+        layout = os.environ.get("SHGVQA_FLAT_LAYOUT", "1d")
+        state, spec = build_flat_state(params, layout=layout)
         del params
         step_fn = make_flat_train_step(cfg, model, spec, lr=1e-5,
                                        t_total=1000, warmup=0.1)

@@ -87,10 +87,13 @@ def parse_plane(buf):
 
 
 def parse_line_events(buf):
-    """XLine { name=2, events=6 }; XEvent { metadata_id=1, duration_ps=3 }"""
+    """XLine { name=2, events=4 or 6 }; XEvent { metadata_id=1, duration_ps=3 }
+
+    The events field number differs across tsl profiler versions (observed 4
+    on the current image, 6 historically) — accept either."""
     events = []
     for f, wt, v in iter_fields(buf):
-        if f == 6 and wt == 2:
+        if f in (4, 6) and wt == 2:
             mid, dur = None, 0
             for ff, wwt, vv in iter_fields(v):
                 if ff == 1 and wwt == 0:
