@@ -25,6 +25,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NORM_STATS: Dict[str, Tuple[Tuple[float, ...], Tuple[float, ...]]] = {
     # data_transforms.py:17-33
@@ -196,15 +197,19 @@ def _affine_warp(x: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
 _GEO_PAD = 128   # covers max |shift| at magnitude 31: translate 0.45*224=101
 
 
-def _row_shear(planes: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
+def _row_shear(planes: jnp.ndarray, shift: jnp.ndarray,
+               pad: int = _GEO_PAD) -> jnp.ndarray:
     """planes (R, C, L) -> out[r, c] = planes[r, c + shift[r]] with 1-D
-    bilinear along C and zero fill."""
+    bilinear along C and zero fill.  ``pad`` must exceed max |shift| (the
+    gather clamps out-of-range starts, which would silently repeat border
+    rows) — callers with a static magnitude bound pass a tight value, since
+    the default doubles the pass's HBM traffic (224 -> 481 columns)."""
     r, c, l = planes.shape
-    xp = jnp.pad(planes, ((0, 0), (_GEO_PAD, _GEO_PAD + 1), (0, 0)))
+    xp = jnp.pad(planes, ((0, 0), (pad, pad + 1), (0, 0)))
     k = jnp.floor(shift).astype(jnp.int32)
     f = (shift - k.astype(shift.dtype))[:, None, None].astype(planes.dtype)
     starts = jnp.stack(
-        [jnp.arange(r, dtype=jnp.int32), k + _GEO_PAD], axis=-1)
+        [jnp.arange(r, dtype=jnp.int32), k + pad], axis=-1)
     g = jax.lax.gather(
         xp, starts,
         jax.lax.GatherDimensionNumbers(
@@ -216,19 +221,31 @@ def _row_shear(planes: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
 
 
 def _geo_passes(x: jnp.ndarray, lam1=0.0, beta=0.0, lam3=0.0,
-                t1=0.0, t2=0.0) -> jnp.ndarray:
+                t1=0.0, t2=0.0, pad: int = _GEO_PAD) -> jnp.ndarray:
     """x (T, H, W, C): x-shear(lam1)+translate(t1) -> y-shear(beta)+
     translate(t2) -> x-shear(lam3), each about the image center."""
     t, h, w, c = x.shape
     planes = x.transpose(1, 2, 0, 3).reshape(h, w, t * c)
     ys = jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2.0
     xs = jnp.arange(w, dtype=jnp.float32) - (w - 1) / 2.0
-    planes = _row_shear(planes, lam1 * ys + t1)
+    planes = _row_shear(planes, lam1 * ys + t1, pad=pad)
     pt = planes.transpose(1, 0, 2)                         # (W, H, TC)
-    pt = _row_shear(pt, beta * xs + t2)
+    pt = _row_shear(pt, beta * xs + t2, pad=pad)
     planes = pt.transpose(1, 0, 2)
-    planes = _row_shear(planes, lam3 * ys + jnp.zeros_like(ys))
+    planes = _row_shear(planes, lam3 * ys + jnp.zeros_like(ys), pad=pad)
     return planes.reshape(h, w, t, c).transpose(2, 0, 1, 3)
+
+
+def _geo_pad_bound(magnitude: int, h: int, w: int) -> int:
+    """Tight static bound on |shift| for any RandAugment geometry op at the
+    given magnitude: rotate contributes tan(rad/2)/sin(rad) shears, shear
+    0.3*m/31, translate 0.45*m/31 * dim (``RAND_AUGMENT_OPS`` maxvals)."""
+    m = magnitude / 31.0
+    dim = max(h, w)
+    rad = np.radians(30.0 * m)
+    shear = max(np.tan(rad / 2.0), np.sin(rad), 0.3 * m) * (dim - 1) / 2.0
+    translate = 0.45 * m * dim
+    return min(_GEO_PAD, int(np.ceil(max(shear, translate))) + 2)
 
 
 def op_shear_x(x, v):
@@ -342,10 +359,11 @@ def rand_augment(frames01: jnp.ndarray, rng: jax.Array,
 #   - the 5 geometric ops collapse into ONE warp with a per-clip affine
 #     matrix (identity for clips whose op is photometric);
 #   - photometric ops are cheap elementwise/reduction passes XLA fuses;
-#   - equalize computes its CDF by sort + searchsorted (no scatter) on an
-#     optionally strided pixel subsample (stride 1 == exact; the default 8
-#     estimates the 256-bin histogram from ~100k pixels/channel, a
-#     documented divergence on an already-stochastic op).
+#   - equalize builds its 256-bin histogram as a nibble-factored MXU gram
+#     matmul and applies the LUT in two 16-wide contraction stages (see
+#     ``op_equalize_batch``) on an optionally strided pixel subsample
+#     (stride 1 == exact; the default 8 estimates the histogram from ~100k
+#     pixels/channel, a documented divergence on an already-stochastic op).
 # ---------------------------------------------------------------------------
 
 _GEO_ROT, _GEO_SHX, _GEO_SHY, _GEO_TRX, _GEO_TRY = 3, 10, 11, 12, 13
@@ -364,49 +382,50 @@ def _sample_rand_augment(key: jax.Array, num_layers: int, prob: float):
     return jnp.stack(ops), jnp.stack(applies), jnp.stack(signs)
 
 
-def _apply_lut_onehot(lut: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """LUT application without a per-pixel gather: ``lut[b, c, q[b, c, p]]``
-    as a one-hot bf16 contraction the MXU streams.
-
-    A (B, C, 256) take_along_axis with (B, C, P) indices gathers along the
-    lane dimension — measured 1.1 s/call at b32 on-chip, 75% of the whole
-    batched RandAugment.  ``sum_k one_hot(q)[p, k] * lut[k]`` is the same
-    function as a dot; one_hot and integer LUT values (<= 255) are exact in
-    bf16, so this is bit-equal, and XLA fuses the comparison into the
-    contraction instead of materializing (B, C, P, 256)."""
-    oh = (q[..., None] == jnp.arange(256, dtype=jnp.int32)).astype(
-        jnp.bfloat16)                                          # (B, C, P, 256)
-    out = jax.lax.dot_general(
-        oh, lut.astype(jnp.bfloat16),
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32,
-    )                                                          # (B, C, P)
-    return out
-
-
 def op_equalize_batch(x: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
     """(B, T, H, W, C) batched equalize, scatter- and gather-free.
 
-    cdf[k] = #(pixels <= k) comes from sort + searchsorted over a strided
-    pixel subsample; the LUT formula matches ``op_equalize`` exactly, so
-    stride=1 is bit-equal to the per-clip op."""
+    Nibble-factored formulation (tools/proto_equalize.py A/B: 182 -> 34 ms
+    at b64 on-chip vs the earlier sort+searchsorted CDF + 256-wide one-hot
+    apply, bit-identical output):
+
+    - histogram: ``hist2[hi, lo] = sum_p 1[q>>4 == hi] * 1[q&15 == lo]`` as
+      a bf16 gram einsum contracting over PIXELS — a true MXU matmul
+      (K ~ 100k, M = N = 16); counts accumulate exactly in f32 (< 2^24).
+      cdf = cumsum of the flattened 256 bins.
+    - apply: ``out = sum_hi 1[hi] * (sum_lo 1[lo] * lut2[hi, lo])`` — the
+      inner contraction is a (P, 16) x (16, 16) dot, so the LUT lookup is
+      two 16-wide stages instead of one 256-wide select-reduce (which XLA
+      lowered to 256 compare+select+adds per pixel on the VPU).  One-hot
+      and integer LUT values (<= 255) are exact in bf16.
+
+    The LUT formula matches ``op_equalize`` exactly, so stride=1 is
+    bit-equal to the per-clip op; the default driver stride estimates the
+    histogram from a pixel subsample (documented divergence on an already-
+    stochastic op)."""
     b, t, h, w, c = x.shape
     q = jnp.clip(jnp.floor(x * 255.0), 0, 255).astype(jnp.int32)
     qc = q.transpose(0, 4, 1, 2, 3).reshape(b, c, -1)          # (B, C, P)
     sub = qc[:, :, ::stride]
-    s = jnp.sort(sub, axis=-1)
-    ks = jnp.arange(256, dtype=jnp.int32)
-    cdf = jax.vmap(jax.vmap(
-        lambda a: jnp.searchsorted(a, ks, side="right")))(s)
-    cdf = cdf.astype(jnp.float32)                               # (B, C, 256)
-    hist = cdf - jnp.concatenate(
-        [jnp.zeros_like(cdf[..., :1]), cdf[..., :-1]], axis=-1)
+    nib = jnp.arange(16, dtype=jnp.int32)
+    hi = ((sub >> 4)[..., None] == nib).astype(jnp.bfloat16)
+    lo = ((sub & 15)[..., None] == nib).astype(jnp.bfloat16)
+    hist = jnp.einsum("bcph,bcpl->bchl", hi, lo,
+                      preferred_element_type=jnp.float32,
+                      ).reshape(b, c, 256)                     # (B, C, 256)
+    cdf = jnp.cumsum(hist, axis=-1)
     nz_min = jnp.min(jnp.where(hist > 0, cdf, jnp.inf), axis=-1,
                      keepdims=True)
     total = cdf[..., -1:]
     denom = jnp.maximum(total - nz_min, 1.0)
     lut = jnp.clip(jnp.round((cdf - nz_min) / denom * 255.0), 0, 255)
-    out = _apply_lut_onehot(lut, qc)                            # (B, C, P)
+    lut2 = lut.reshape(b, c, 16, 16).astype(jnp.bfloat16)      # [hi, lo]
+    ohl = ((qc & 15)[..., None] == nib).astype(jnp.bfloat16)   # (B, C, P, 16)
+    tmp = jnp.einsum("bcpl,bchl->bcph", ohl, lut2,
+                     preferred_element_type=jnp.bfloat16)      # (B, C, P, 16)
+    ohh = (qc >> 4)[..., None] == nib
+    out = jnp.sum(jnp.where(ohh, tmp, jnp.bfloat16(0)),
+                  axis=-1).astype(jnp.float32)                 # (B, C, P)
     out = out.reshape(b, c, t, h, w).transpose(0, 2, 3, 4, 1)
     return out.astype(x.dtype) / 255.0
 
@@ -450,7 +469,9 @@ def _apply_layer_batch(x: jnp.ndarray, op: jnp.ndarray, apply: jnp.ndarray,
     lam3 = jnp.where(op == _GEO_ROT, a, zero)
     t1 = jnp.where(op == _GEO_TRX, lvl(_GEO_TRX) * w, zero)
     t2 = jnp.where(op == _GEO_TRY, lvl(_GEO_TRY) * h, zero)
-    warped = jax.vmap(_geo_passes)(x, lam1, beta, lam3, t1, t2)
+    pad = _geo_pad_bound(magnitude, h, w)
+    warped = jax.vmap(partial(_geo_passes, pad=pad))(
+        x, lam1, beta, lam3, t1, t2)
     return jnp.where(is_geo[:, None, None, None, None], warped, out)
 
 
