@@ -139,6 +139,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallasFFNTrain", dest="use_pallas_ffn_train",
                    action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--backboneChunks", dest="backbone_chunks", type=int,
+                   default=1,
+                   help="run the frozen backbone (and its frame "
+                        "preprocessing) in N sequential micro-chunks; "
+                        "peak-HBM lever for large batches, numerics "
+                        "unchanged (configs/config.py)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace to {output}/profile")
     p.add_argument("--dataParallel", dest="data_parallel", type=int, default=-1)
@@ -298,6 +304,7 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         use_pallas_attention_train=ns.use_pallas_attention_train,
         use_pallas_ffn=ns.use_pallas_ffn,
         use_pallas_ffn_train=ns.use_pallas_ffn_train,
+        backbone_chunks=ns.backbone_chunks,
     )
     cfg = cfg.replace(after_cross_attn_feats=ns.after_cross_attn_feats)
     cfg.validate()

@@ -229,6 +229,14 @@ class Config:
     # combine with use_pallas_attention_train
     use_pallas_ffn_train: bool = False
     donate_state: bool = True
+    # Run the FROZEN backbone forward in N sequential micro-chunks over the
+    # batch (nn.scan, weights broadcast).  Purely a peak-memory lever: the
+    # frozen trunk's activations are live only during its own forward, so
+    # chunking halves the ~3.2 GB/stage activation peak that makes the b128
+    # train step spill (head-only b128 = 629 ms and backbone-only b128 =
+    # 202 ms both scale cleanly; only the combined step blew up to 1.47 s).
+    # No effect on numerics; ignored when the batch doesn't divide.
+    backbone_chunks: int = 1
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -285,25 +285,55 @@ class VideoShgVqaModel(nn.Module):
 
         if "frames" in batch and self.cfg.task != "q":
             frames = batch["frames"]
-            if jnp.issubdtype(frames.dtype, jnp.integer):
-                frames = frames.astype(jnp.float32) / 255.0
             aug = self.cfg.data.augment_type
-            if not deterministic and aug in ("rand_aug", "rand_aug_slowfast",
-                                             "aug_mix"):
-                # batched formulation: vmap(rand_augment)'s switch lowering
-                # runs all 14 ops per layer (6.6s/batch on-chip at b32);
-                # the batched version samples identically but executes each
-                # op class once per layer (see data/transforms.py)
-                key = self.make_rng("augment")
-                keys = jax.random.split(key, frames.shape[0])
-                if aug == "aug_mix":
-                    frames = aug_mix_batch(frames, keys)
-                else:
-                    frames = rand_augment_batch(frames, keys)
+            aug_on = (not deterministic
+                      and aug in ("rand_aug", "rand_aug_slowfast", "aug_mix"))
             mean, std = NORM_STATS.get(self.cfg.backbone,
                                        NORM_STATS["slow_r50"])
-            frames = normalize_clip(frames, mean, std)
-            feats = self.backbone(frames)
+            aug_fn = aug_mix_batch if aug == "aug_mix" else rand_augment_batch
+
+            def preprocess(x, keys=None):
+                if jnp.issubdtype(x.dtype, jnp.integer):
+                    x = x.astype(jnp.float32) / 255.0
+                if aug_on:
+                    # batched formulation: vmap(rand_augment)'s switch
+                    # lowering runs all 14 ops per layer (6.6s/batch
+                    # on-chip at b32); the batched version samples
+                    # identically but executes each op class once per
+                    # layer (see data/transforms.py)
+                    x = aug_fn(x, keys)
+                return normalize_clip(x, mean, std)
+
+            # per-clip keys: every augment op draws independently per clip,
+            # so chunked execution below is sample-identical
+            keys = (jax.random.split(self.make_rng("augment"),
+                                     frames.shape[0]) if aug_on else None)
+            nc = self.cfg.backbone_chunks
+            if (nc > 1 and self.cfg.freeze_backbone
+                    and frames.shape[0] % nc == 0):
+                # Sequential micro-chunks bound the preprocessing + frozen
+                # trunk's activation peak (weights broadcast, batch_stats
+                # read-only eval-mode BN).  The WHOLE frames path runs
+                # per-chunk: chunking only the trunk still materializes
+                # full-batch (B,T,224,224,3) convert/augment/normalize
+                # tensors (9.6 GB f32 at b128), which was the actual spill.
+                csz = frames.shape[0] // nc
+                fx = frames.reshape((nc, csz) + frames.shape[1:])
+                if aug_on:
+                    kx = keys.reshape((nc, csz) + keys.shape[1:])
+                    body = lambda mdl, c, xk: (c, mdl(preprocess(*xk)))
+                    xs = (fx, kx)
+                else:
+                    body = lambda mdl, c, x: (c, mdl(preprocess(x)))
+                    xs = fx
+                _, feats = nn.scan(
+                    body,
+                    variable_broadcast=["params", "batch_stats"],
+                    split_rngs={"params": False, "dropout": False},
+                    in_axes=0, out_axes=0)(self.backbone, None, xs)
+                feats = feats.reshape((frames.shape[0],) + feats.shape[2:])
+            else:
+                feats = self.backbone(preprocess(frames, keys))
             if self.cfg.freeze_backbone:
                 feats = jax.lax.stop_gradient(feats)
             batch = {k: v for k, v in batch.items() if k != "frames"}

@@ -213,3 +213,76 @@ def test_video_model_attention_outputs():
     out = model.apply(params, batch, deterministic=True,
                       output_attentions=True)
     assert set(out["attentions"].keys()) == {"encoder", "hgq"}
+
+
+def test_backbone_chunks_numerics_identical():
+    """cfg.backbone_chunks is a pure peak-memory lever for the frozen trunk
+    (sequential nn.scan micro-chunks, weights broadcast): the output must be
+    bit-identical to the unchunked forward, and a non-divisible batch must
+    fall back to the plain path."""
+    from shgvqa_tpu.models.shgvqa import VideoShgVqaModel
+
+    cfg = tiny_test_config(task="hgqa", freeze_backbone=True)
+    rng = np.random.RandomState(0)
+    d, e = cfg.data, cfg.encoder
+    bsz = 4
+    batch = {
+        "input_ids": rng.randint(
+            1, e.vocab_size, (bsz, d.max_seq_length)).astype(np.int32),
+        "input_mask": np.ones((bsz, d.max_seq_length), np.int32),
+        "segment_ids": np.zeros((bsz, d.max_seq_length), np.int32),
+        "frames": rng.randint(0, 255, (bsz, e.visual_t + 8, 32, 32, 3)
+                              ).astype(np.uint8),
+    }
+    model = VideoShgVqaModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
+    base = model.apply(params, batch, deterministic=True)
+
+    # not bit-equal: XLA tiles convolutions differently at batch 2 vs 4,
+    # so accumulation order shifts — tight allclose instead
+    chunked = VideoShgVqaModel(cfg.replace(backbone_chunks=2))
+    out = chunked.apply(params, batch, deterministic=True)
+    np.testing.assert_allclose(np.asarray(base["logit"]),
+                               np.asarray(out["logit"]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(base["rel_preds"]),
+                               np.asarray(out["rel_preds"]),
+                               rtol=2e-4, atol=2e-5)
+
+    # non-divisible batch (4 % 3) silently uses the plain path: bit-equal
+    fallback = VideoShgVqaModel(cfg.replace(backbone_chunks=3))
+    out3 = fallback.apply(params, batch, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(base["logit"]),
+                                  np.asarray(out3["logit"]))
+
+
+def test_backbone_chunks_augmented_sampling_identical():
+    """Chunked preprocessing must draw the SAME per-clip augment keys as the
+    full-batch path: every augment op samples per clip, so chunk boundaries
+    cannot change the result."""
+    from shgvqa_tpu.models.shgvqa import VideoShgVqaModel
+
+    cfg = tiny_test_config(task="hgqa", freeze_backbone=True)
+    import dataclasses
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, augment_type="rand_aug"))
+    rng = np.random.RandomState(0)
+    d, e = cfg.data, cfg.encoder
+    bsz = 4
+    batch = {
+        "input_ids": rng.randint(
+            1, e.vocab_size, (bsz, d.max_seq_length)).astype(np.int32),
+        "input_mask": np.ones((bsz, d.max_seq_length), np.int32),
+        "segment_ids": np.zeros((bsz, d.max_seq_length), np.int32),
+        "frames": rng.randint(0, 255, (bsz, e.visual_t + 8, 32, 32, 3)
+                              ).astype(np.uint8),
+    }
+    model = VideoShgVqaModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
+    rngs = {"dropout": jax.random.PRNGKey(7), "augment": jax.random.PRNGKey(3)}
+    base = model.apply(params, batch, deterministic=False, rngs=rngs)
+    chunked = VideoShgVqaModel(cfg.replace(backbone_chunks=2))
+    out = chunked.apply(params, batch, deterministic=False, rngs=rngs)
+    np.testing.assert_allclose(np.asarray(base["logit"], np.float32),
+                               np.asarray(out["logit"], np.float32),
+                               rtol=2e-4, atol=2e-5)

@@ -52,7 +52,20 @@ def main() -> None:
     scan = os.environ.get("SHGVQA_BENCH_SCAN", "0") == "1"
     remat_on = os.environ.get("SHGVQA_BENCH_REMAT", "0") == "1"
     cfg = _flagship_cfg(scan_layers=scan).replace(
-        freeze_backbone=freeze, remat=remat_on)
+        freeze_backbone=freeze, remat=remat_on,
+        # frozen-trunk micro-chunking (peak-memory lever for b>=128; see
+        # configs/config.py backbone_chunks)
+        backbone_chunks=int(os.environ.get("SHGVQA_BENCH_BB_CHUNKS", "1")))
+    # published AGQA recipe config trains WITH --augmentType rand_aug
+    # (reference README.md:162-186); default off to keep the recorded
+    # metric comparable across rounds — SHGVQA_BENCH_AUG=rand_aug|aug_mix
+    # measures the on-device augmentation inside the jitted train step
+    aug = os.environ.get("SHGVQA_BENCH_AUG", "no_aug")
+    if aug != "no_aug":
+        import dataclasses
+
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data,
+                                                   augment_type=aug))
     if os.environ.get("SHGVQA_BENCH_PALLAS", "0") == "1":
         from shgvqa_tpu.kernels import attention as pallas_attn
 
@@ -151,7 +164,8 @@ def main() -> None:
 
     cps = batch_size * iters / dt / max(1, jax.device_count())
     print(json.dumps({
-        "metric": f"train clips/sec/chip (HGQA b{batch_size} bf16)",
+        "metric": (f"train clips/sec/chip (HGQA b{batch_size} bf16"
+                   + (f" {aug}" if aug != "no_aug" else "") + ")"),
         "value": round(cps, 2),
         "unit": "clips/s/chip",
         "compile_s": round(compile_s, 1),
