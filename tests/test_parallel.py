@@ -118,3 +118,51 @@ def test_data_parallel_train_step_matches_single_device():
     for a, bb_ in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb_),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_tp_rules_cover_real_model_params():
+    """The TP regexes must keep matching the REAL param tree (they are
+    path-sensitive; a rename in models/ would silently degrade TP to full
+    replication).  Asserts every attention qkv/out and FFN kernel in the
+    encoder gets a model-axis spec, and that a substantial element fraction
+    of the head is sharded at tp=2."""
+    import numpy as np
+    from shgvqa_tpu.configs.config import tiny_test_config
+    from shgvqa_tpu.models.shgvqa import ShgVqaModel
+
+    cfg = tiny_test_config(task="hgqa")
+    model = ShgVqaModel(cfg)
+    d, e = cfg.data, cfg.encoder
+    rng = np.random.RandomState(0)
+    batch = {
+        "input_ids": rng.randint(1, e.vocab_size,
+                                 (2, d.max_seq_length)).astype(np.int32),
+        "input_mask": np.ones((2, d.max_seq_length), np.int32),
+        "segment_ids": np.zeros((2, d.max_seq_length), np.int32),
+        "visual_feats": rng.randn(2, e.visual_t + 8, e.visual_hw,
+                                  e.visual_hw, e.visual_feat_dim
+                                  ).astype(np.float32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
+    mesh = make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    shardings = partition_params(params, mesh)
+
+    flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_s = jax.tree_util.tree_leaves(shardings)
+    sharded_elems = total_elems = 0
+    missed = []
+    for (kp, leaf), sh in zip(flat_p, flat_s):
+        path = "/".join(getattr(k, "key", getattr(k, "idx", "?")).__str__()
+                        for k in kp)
+        n = int(np.prod(leaf.shape)) if leaf.ndim else 1
+        total_elems += n
+        if "model" in (ax for ax in sh.spec if ax):
+            sharded_elems += n
+        elif (leaf.ndim == 2 and path.endswith("kernel")
+              and any(t in path for t in ("query", "key", "value",
+                                          "intermediate", "in_proj",
+                                          "out_proj", "linear1", "linear2"))):
+            missed.append(path)
+    assert not missed, f"TP rules stopped matching: {missed[:5]}"
+    assert sharded_elems / total_elems > 0.3, (
+        f"only {sharded_elems/total_elems:.1%} of elements TP-sharded")
