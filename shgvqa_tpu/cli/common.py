@@ -212,7 +212,7 @@ def run_driver(dataset: str, argv=None) -> dict:
             model=trainer.model, trainable_mask=mask)
         trainer.params = params
         trainer._reset_opt()
-    if cfg.task != "q":
+    if cfg.task != "q" and not cfg.encoder.patches:
         # pretrained backbone (torch.hub pretrained=True analog); convert
         # the public SLOW_8x8_R50.pyth once via tools/convert_slow_r50.py
         bbw = extras.get("backbone_weights") or os.path.join(
@@ -223,6 +223,16 @@ def run_driver(dataset: str, argv=None) -> dict:
             print(f"no pretrained backbone at {bbw}; backbone stays at "
                   "random init (convert via tools/convert_slow_r50.py)",
                   flush=True)
+    if cfg.task != "q" and cfg.encoder.vit_init:
+        # --vitInit: r_layers from pretrained ViT-B/32 blocks
+        # (modeling_capsbert.py:1365-1390; --startIndex picks the slice)
+        vw = extras.get("vit_weights") or os.path.join(
+            cfg.data.data_dir, "vit_base_patch32_224.bin")
+        if os.path.isfile(vw):
+            trainer.load_vit_layers(vw, extras.get("start_index", 7))
+        else:
+            print(f"no ViT weights at {vw}; --vitInit r_layers stay at "
+                  "random init (provide --vitWeights)", flush=True)
     if not cfg.from_scratch:
         # reference default: LXRTFeatureExtraction.from_pretrained
         # ('bert-base-uncased') (entry.py:155-168).  Zero-egress build: load

@@ -55,12 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--embDropRate", dest="emb_drop_rate", type=float, default=0.15)
     p.add_argument("--decoderDropRate", dest="decoder_drop_rate", type=float, default=0.15)
 
-    # accepted-for-compat capsule/patch flags (capsule path is off in every
-    # published recipe; we implement the no_caps path)
+    # capsule/patch flags (capsule path is off in every published recipe)
     p.add_argument("--NUM_PRIM_CAPS", type=int, default=32)
     p.add_argument("--NUM_VIS_CAPS", type=int, default=32)
     p.add_argument("--POSE_DIM", type=int, default=4)
     p.add_argument("--HW", type=int, default=7)
+    # linear 32x32-RGB-patch tokenizer, backbone skipped (models/visual.py)
     p.add_argument("--patches", action="store_true")
     p.add_argument("--attnRouting", dest="attn_routing", action="store_true")
     p.add_argument("--skipConnection", dest="skip_connection", action="store_true")
@@ -182,6 +182,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="converted backbone msgpack "
                         "(tools/convert_slow_r50.py; default: "
                         "{dataDir}/{backbone}_flax.msgpack)")
+    p.add_argument("--vitWeights", dest="vit_weights", default=None,
+                   help="ViT-B/32 checkpoint for --vitInit r-layer "
+                        "initialization (timm vit_base_patch32_224 "
+                        "state_dict; default: "
+                        "{dataDir}/vit_base_patch32_224.bin)")
     return p
 
 
@@ -214,6 +219,12 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         num_vis_caps=ns.NUM_VIS_CAPS,
         pose_dim=ns.POSE_DIM,
         caps_skip_connection=ns.skip_connection,
+        patches=ns.patches,
+        vit_init=ns.vit_init,
+        # --patches flips the visual feature dim to the 32x32 RGB patch
+        # flatten_dim (modeling_capsbert.py:173-174, 981-986)
+        visual_feat_dim=(3072 if ns.patches
+                         else cfg.encoder.visual_feat_dim),
         l_layers=ns.llayers,
         x_layers=ns.xlayers,
         r_layers=ns.rlayers,
@@ -324,6 +335,8 @@ def parse_reference_flags_with_extras(argv: Optional[Sequence[str]] = None,
         "load_lxmert": ns.load_lxmert,
         "bert_weights": ns.bert_weights,
         "backbone_weights": ns.backbone_weights,
+        "vit_weights": ns.vit_weights,
+        "start_index": ns.start_index,
         "frame_loader": ns.frame_loader,
         "pretrain": {
             "task_matched": ns.task_matched,

@@ -65,6 +65,15 @@ class EncoderConfig:
     pose_dim: int = 4             # --POSE_DIM
     caps_mask_features: bool = False   # language-conditioned capsule masking
     caps_skip_connection: bool = False # --skipConnection
+    # --patches: linear 32x32-RGB-patch tokenizer instead of backbone+conv
+    # (modeling_capsbert.py:978-996; visual_feat_dim flips to 3072 there).
+    # The backbone is skipped entirely — frames are patchified on device.
+    patches: bool = False
+    # --vitInit: visual-stream r_layers are pre-LN ViT blocks (loadable from
+    # a timm vit_base_patch32_224 checkpoint via tools/convert_vit.py,
+    # start index = --startIndex), called without an attention mask
+    # (modeling_capsbert.py:1365-1390, 1401-1403)
+    vit_init: bool = False
     visual_feat_dim: int = 2048
     visual_t: int = 8          # temporal tokens after conv compression 16 -> 8
     visual_hw: int = 7         # spatial tokens per side

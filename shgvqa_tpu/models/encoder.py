@@ -69,6 +69,10 @@ class TriStreamEncoder(nn.Module):
             else BertLayer
         )
         if c.scan_layers:
+            if c.vit_init:
+                raise ValueError(
+                    "vit_init r_layers are not available with scan_layers; "
+                    "rerun with scan_layers=False")
             from shgvqa_tpu.models.scan_stacks import (
                 ScannedBertStack,
                 ScannedCrossStack,
@@ -96,7 +100,8 @@ class TriStreamEncoder(nn.Module):
                 self.x_stack = None
         if c.no_caps:
             self.visual_tokenizer = VisualTokenizer(
-                hidden_size=c.hidden_size, dropout=c.hidden_dropout, dtype=dt
+                hidden_size=c.hidden_size, dropout=c.hidden_dropout,
+                patches=c.patches, dtype=dt
             )
         else:
             # capsule path (--noCaps off): EM-routing tokenizer producing
@@ -125,8 +130,23 @@ class TriStreamEncoder(nn.Module):
                 )
         self.l_layers = [layer_cls(**kw, name=f"l_{i}")
                          for i in range(c.l_layers)]
-        self.r_layers = [layer_cls(**kw, name=f"r_{i}")
-                         for i in range(c.r_layers)]
+        if c.vit_init:
+            # --vitInit: r_layers are pre-LN ViT blocks (initialized from a
+            # pretrained ViT-B/32 checkpoint via tools/convert_vit.py); they
+            # take no attention mask, exactly as the reference invokes them
+            # (modeling_capsbert.py:1401-1403)
+            from shgvqa_tpu.models.vit import ViTBlock
+
+            r_cls = (nn.remat(ViTBlock, static_argnums=(3, 4))
+                     if self.remat else ViTBlock)
+            self.r_layers = [
+                r_cls(num_heads=c.num_heads, head_dim=c.head_dim,
+                      mlp_ratio=c.intermediate_size // c.hidden_size,
+                      dtype=dt, name=f"r_{i}")
+                for i in range(c.r_layers)]
+        else:
+            self.r_layers = [layer_cls(**kw, name=f"r_{i}")
+                             for i in range(c.r_layers)]
         x_layer_cls = CROSS_LAYER_TYPES[c.cross_attn_type]
         if c.scan_layers and c.cross_attn_type in ("cross", "old"):
             self.x_layers = []    # scanned x_stack used instead

@@ -267,10 +267,17 @@ class VideoShgVqaModel(nn.Module):
     cfg: Config
 
     def setup(self):
-        from shgvqa_tpu.models.backbone import make_backbone
+        if self.cfg.encoder.patches:
+            # --patches: ViT-style linear patch tokenizer consumes the
+            # normalized frames directly — no backbone is built
+            # (modeling_capsbert.py:978-996 evident intent; the reference's
+            # own patches forward is latent-broken, see models/visual.py)
+            self.backbone = None
+        else:
+            from shgvqa_tpu.models.backbone import make_backbone
 
-        self.backbone = make_backbone(
-            self.cfg.backbone, dtype=_dt(self.cfg.compute_dtype))
+            self.backbone = make_backbone(
+                self.cfg.backbone, dtype=_dt(self.cfg.compute_dtype))
         self.head = ShgVqaModel(self.cfg)
 
     def __call__(self, batch: Dict[str, jnp.ndarray],
@@ -308,6 +315,15 @@ class VideoShgVqaModel(nn.Module):
             # so chunked execution below is sample-identical
             keys = (jax.random.split(self.make_rng("augment"),
                                      frames.shape[0]) if aug_on else None)
+            if self.cfg.encoder.patches:
+                from shgvqa_tpu.models.visual import patchify_clip
+
+                enc = self.cfg.encoder
+                feats = patchify_clip(
+                    preprocess(frames, keys), enc.visual_t, enc.visual_hw)
+                batch = {k: v for k, v in batch.items() if k != "frames"}
+                batch["visual_feats"] = feats
+                return self.head(batch, deterministic, output_attentions)
             nc = self.cfg.backbone_chunks
             if (nc > 1 and self.cfg.freeze_backbone
                     and frames.shape[0] % nc == 0):

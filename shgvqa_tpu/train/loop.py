@@ -350,13 +350,23 @@ class Trainer:
         }
 
     # -- encoder-only snapshots (entry.py:203-238 '%s_LXRT.pth' analog) ----
+    @staticmethod
+    def _encoder_root(ptree):
+        """(container, key) such that container[key] is the lxrt/bert_encoder
+        subtree.  VideoShgVqaModel nests the task model under 'head'
+        (models/shgvqa.py), feature-input models keep it at top level."""
+        for owner in (ptree, ptree.get("head", {})):
+            for key in ("lxrt", "bert_encoder"):
+                if key in owner:
+                    return owner, key
+        raise ValueError(
+            "no encoder subtree (lxrt/bert_encoder) in params")
+
     def save_encoder(self, path: str) -> None:
         """Save only the language/tri-stream encoder subtree (the reference's
         LXMERT-style '%s_LXRT.pth' snapshots)."""
-        sub = {}
-        for key in ("lxrt", "bert_encoder"):
-            if key in self.params["params"]:
-                sub[key] = self.params["params"][key]
+        owner, key = self._encoder_root(self.params["params"])
+        sub = {key: owner[key]}
         self.ckpt._ckptr.save(
             self.ckpt.path(path + "_LXRT") if "/" not in path
             else path + "_LXRT",
@@ -374,10 +384,10 @@ class Trainer:
         restored = self.ckpt._ckptr.restore(full)
         loaded, missing = [], []
         params = jax.device_get(self.params)
+        owner, own_key = self._encoder_root(params["params"])
         for key, subtree in restored.items():
-            if key in params["params"]:
-                params["params"][key] = jax.tree_util.tree_map(
-                    jnp.asarray, subtree)
+            if key == own_key:
+                owner[key] = jax.tree_util.tree_map(jnp.asarray, subtree)
                 loaded.append(key)
             else:
                 missing.append(key)
@@ -423,7 +433,10 @@ class Trainer:
         qa = np.load(base + "_qa_head.npz", allow_pickle=True)
         table = AnswerTable([str(a) for a in qa["answers"]])
         params = jax.device_get(self.params)
-        head = params["params"]["logit_fc"]["fc2"]["Dense_0"]
+        tree = params["params"]
+        if "logit_fc" not in tree:          # VideoShgVqaModel nests the
+            tree = tree["head"]             # task model under 'head'
+        head = tree["logit_fc"]["fc2"]["Dense_0"]
         new_w, new_b, loaded, unloaded = answer_head_surgery(
             qa["weight"], qa["bias"],
             np.asarray(head["kernel"]).T, np.asarray(head["bias"]),
@@ -448,15 +461,49 @@ class Trainer:
 
         sd = load_torch_state_dict(path)
         params = jax.device_get(self.params)
-        key = "lxrt" if "lxrt" in params["params"] else "bert_encoder"
-        sub, report = bert_to_lxrt_params(sd, params["params"][key])
-        params["params"][key] = jax.tree_util.tree_map(jnp.asarray, sub)
+        owner, key = self._encoder_root(params["params"])
+        sub, report = bert_to_lxrt_params(sd, owner[key])
+        owner[key] = jax.tree_util.tree_map(jnp.asarray, sub)
         self.params = params
         self.metrics.log(
             f"Loaded BERT pretrained weights from {path} into '{key}': "
             f"{len(report['loaded'])} tensors"
             + (f"; skipped {len(report['skipped'])}"
                if report["skipped"] else ""))
+        self._reset_opt()
+
+    def load_vit_layers(self, path: str, start_index: int = 7) -> None:
+        """--vitInit: overwrite the visual-stream r_layers with pretrained
+        ViT-B/32 blocks ``blocks[start_index:start_index+r]`` (the
+        reference's ``load_vit_layers``, modeling_capsbert.py:1365-1390).
+        Requires the model built with ``encoder.vit_init=True`` (r_layers
+        are pre-LN ViTBlocks, models/vit.py)."""
+        from shgvqa_tpu.utils.torch_import import (
+            load_torch_state_dict,
+            vit_to_r_layers,
+        )
+
+        params = jax.device_get(self.params)
+        owner, key = self._encoder_root(params["params"])
+        enc = owner[key]["encoder"]
+        n = 0
+        while f"r_{n}" in enc:
+            n += 1
+        if n == 0:
+            raise ValueError("model has no r_layers to initialize")
+        if "norm1" not in enc["r_0"]:
+            raise ValueError(
+                "r_layers are BertLayers, not ViT blocks — build the model "
+                "with encoder.vit_init=True (--vitInit) before loading")
+        sub = vit_to_r_layers(load_torch_state_dict(path), n, start_index)
+        for name, block in sub.items():
+            enc[name] = jax.tree_util.tree_map(
+                lambda old, new: jnp.asarray(
+                    new, dtype=np.asarray(old).dtype), enc[name], block)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.metrics.log(
+            f"Loaded {n} ViT blocks [{start_index}:{start_index + n}] "
+            f"from {path} into '{key}/encoder/r_*'")
         self._reset_opt()
 
     def load(self, name_or_path: str) -> None:

@@ -172,6 +172,46 @@ def bert_to_lxrt_params(
     return params, {"loaded": loaded, "skipped": skipped}
 
 
+def vit_block_params(sd: Dict[str, np.ndarray], prefix: str
+                     ) -> Dict[str, Any]:
+    """One timm ViT ``blocks.{i}`` state_dict slice -> models/vit.ViTBlock
+    params (norm1/qkv/proj/norm2/fc1/fc2; torch Linear weights transposed)."""
+    return {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "qkv": {"kernel": sd[f"{prefix}.attn.qkv.weight"].T,
+                "bias": sd[f"{prefix}.attn.qkv.bias"]},
+        "proj": {"kernel": sd[f"{prefix}.attn.proj.weight"].T,
+                 "bias": sd[f"{prefix}.attn.proj.bias"]},
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "fc1": {"kernel": sd[f"{prefix}.mlp.fc1.weight"].T,
+                "bias": sd[f"{prefix}.mlp.fc1.bias"]},
+        "fc2": {"kernel": sd[f"{prefix}.mlp.fc2.weight"].T,
+                "bias": sd[f"{prefix}.mlp.fc2.bias"]},
+    }
+
+
+def vit_to_r_layers(
+    sd: Dict[str, np.ndarray],
+    num_layers: int,
+    start_index: int = 0,
+) -> Dict[str, Any]:
+    """timm ``vit_base_patch32_224`` state_dict -> {"r_0": ..., "r_{n-1}"}
+    ViTBlock param trees, taking ``blocks[start_index:start_index+n]``
+    exactly like the reference's ``load_vit_layers``
+    (``modeling_capsbert.py:1377-1390``, --startIndex default 7 so 5
+    r-layers get the LAST 5 ViT blocks)."""
+    n_avail = 0
+    while f"blocks.{n_avail}.norm1.weight" in sd:
+        n_avail += 1
+    if num_layers + start_index > n_avail:
+        raise ValueError(
+            f"cannot take {num_layers} blocks from index {start_index}: "
+            f"checkpoint has {n_avail} (reference assert, "
+            f"modeling_capsbert.py:1383-1385)")
+    return {f"r_{i}": vit_block_params(sd, f"blocks.{start_index + i}")
+            for i in range(num_layers)}
+
+
 def _to_numpy_tree(tree):
     if isinstance(tree, dict):
         return {k: _to_numpy_tree(v) for k, v in tree.items()}
