@@ -145,6 +145,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "preprocessing) in N sequential micro-chunks; "
                         "peak-HBM lever for large batches, numerics "
                         "unchanged (configs/config.py)")
+    p.add_argument("--stepsPerLoop", dest="steps_per_loop", type=int,
+                   default=1,
+                   help="train k optimizer steps per device launch "
+                        "(lax.scan over k staged batches; same math and "
+                        "per-step keys, amortizes per-launch dispatch — "
+                        "configs/config.py steps_per_loop)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace to {output}/profile")
     p.add_argument("--dataParallel", dest="data_parallel", type=int, default=-1)
@@ -316,6 +322,7 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         use_pallas_ffn=ns.use_pallas_ffn,
         use_pallas_ffn_train=ns.use_pallas_ffn_train,
         backbone_chunks=ns.backbone_chunks,
+        steps_per_loop=ns.steps_per_loop,
     )
     cfg = cfg.replace(after_cross_attn_feats=ns.after_cross_attn_feats)
     cfg.validate()

@@ -238,6 +238,12 @@ class Config:
     # combine with use_pallas_attention_train
     use_pallas_ffn_train: bool = False
     donate_state: bool = True
+    # Train k optimizer steps per device launch (lax.scan over k staged
+    # batches; flat-mode only, --stepsPerLoop).  Amortizes per-launch host
+    # dispatch — b64 flagship 130 -> 152 clips/s/chip at k=8 on the
+    # per-thunk-dispatch relay; same math and per-step PRNG keys as k
+    # single steps (float noise only from scan-body fusion, ~1e-5 rel).
+    steps_per_loop: int = 1
     # Run the FROZEN backbone forward in N sequential micro-chunks over the
     # batch (nn.scan, weights broadcast).  Purely a peak-memory lever: the
     # frozen trunk's activations are live only during its own forward, so

@@ -129,13 +129,14 @@ def flat_to_variables(state: FlatTrainState, spec: FlatSpec) -> Dict[str, Any]:
     return {"params": params, **spec.aux}
 
 
-def make_flat_train_step(cfg, model, spec: FlatSpec, *, lr: float,
-                         t_total: int, warmup: float = 0.1,
-                         schedule: str = "warmup_linear", b1: float = 0.9,
-                         b2: float = 0.999, eps: float = 1e-6,
-                         weight_decay: float = 0.01, grad_clip: float = 5.0,
-                         compute_losses=None, donate: bool = True):
-    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+def _flat_step_body(cfg, model, spec: FlatSpec, *, lr: float,
+                    t_total: int, warmup: float = 0.1,
+                    schedule: str = "warmup_linear", b1: float = 0.9,
+                    b2: float = 0.999, eps: float = 1e-6,
+                    weight_decay: float = 0.01, grad_clip: float = 5.0,
+                    compute_losses=None):
+    """Unjitted train_step(state, batch, rng) -> (state, metrics) — shared
+    by the single-step jit and the multi-step scan."""
     if compute_losses is None:
         from shgvqa_tpu.train.step import compute_losses as _cl
         compute_losses = _cl
@@ -173,4 +174,47 @@ def make_flat_train_step(cfg, model, spec: FlatSpec, *, lr: float,
                              step=state.step + 1)
         return new, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
+
+
+def make_flat_train_step(cfg, model, spec: FlatSpec, *, donate: bool = True,
+                         **kw):
+    """Returns jitted train_step(state, batch, rng) -> (state, metrics)."""
+    body = _flat_step_body(cfg, model, spec, **kw)
+    return jax.jit(body, donate_argnums=(0,) if donate else ())
+
+
+def make_flat_multi_step(cfg, model, spec: FlatSpec, *, donate: bool = True,
+                         **kw):
+    """k train steps in ONE device program: lax.scan of the step body over k
+    pre-staged batches (leading axis k on every batch leaf) and k per-step
+    PRNG keys.
+
+    Dispatch amortization (steps-per-loop): on per-thunk-dispatch backends
+    (the axon relay, ROUND1_NOTES) the host pays ~0.2 ms per thunk per step;
+    one launch per k steps pays per-launch host work once — measured b64
+    flagship: 130 -> 152 clips/s/chip at k=8 (the residual ~420 ms/step is
+    the device program itself).  On normal TPU runtimes this is the standard
+    host-loop amortization; it also shrinks per-step host Python anywhere.
+
+    Because the caller passes the SAME per-step keys it would have fed k
+    single-step calls, the result is numerically identical to k sequential
+    ``make_flat_train_step`` calls — bit-exact on like-for-like compiled
+    bodies; at full-model scale XLA fuses the scanned body slightly
+    differently (~1e-5 relative after several BertAdam steps).  Locked by
+    tests/test_flat_state.py.
+
+    Returns multi_step(state, batches, rngs) -> (state, stacked metrics
+    dict with leading axis k).
+    """
+    body = _flat_step_body(cfg, model, spec, **kw)
+
+    def multi_step(state, batches, rngs):
+        def scan_body(carry, inp):
+            batch, k = inp
+            new, metrics = body(carry, batch, k)
+            return new, metrics
+
+        return jax.lax.scan(scan_body, state, (batches, rngs))
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())

@@ -137,16 +137,27 @@ class Trainer:
         cfg, model, tx = self.cfg, self.model, self.tx
 
         if self.flat_mode:
-            from shgvqa_tpu.train.flat_state import make_flat_train_step
+            from shgvqa_tpu.train.flat_state import (
+                make_flat_multi_step,
+                make_flat_train_step,
+            )
 
             if self._flat_spec is None:
                 self._reset_opt()
             o = cfg.optim
-            self._flat_train_step = make_flat_train_step(
-                cfg, model, self._flat_spec, lr=o.lr, t_total=self._t_total,
+            step_kw = dict(
+                lr=o.lr, t_total=self._t_total,
                 warmup=o.warmup, schedule=o.schedule, b1=o.b1, b2=o.b2,
                 eps=o.eps, weight_decay=o.weight_decay,
                 grad_clip=o.grad_clip, donate=cfg.donate_state)
+            self._flat_train_step = make_flat_train_step(
+                cfg, model, self._flat_spec, **step_kw)
+            # --stepsPerLoop k>1: scan k steps per launch (dispatch
+            # amortization, flat_state.make_flat_multi_step); partial
+            # trailing chunks fall back to the single-step fn
+            self._flat_multi_step = (
+                make_flat_multi_step(cfg, model, self._flat_spec, **step_kw)
+                if cfg.steps_per_loop > 1 else None)
             self._train_step = True   # sentinel: steps are built
             self._eval_step = jax.jit(make_eval_step(cfg, model))
             return
@@ -203,10 +214,48 @@ class Trainer:
                     break
                 t0 = time.time()
                 n_steps = 0
+                # --stepsPerLoop: group k batches into one scanned launch
+                # (flat mode; bit-identical to k single steps — the same
+                # per-step keys are fed through the scan)
+                k_loop = (cfg.steps_per_loop
+                          if self.flat_mode
+                          and getattr(self, "_flat_multi_step", None)
+                          is not None else 1)
+                chunk, chunk_rngs = [], []
+
+                def log_step(step, metrics, row=None):
+                    if step % cfg.log_freq == 0:
+                        m = {k: float(v if row is None else v[row])
+                             for k, v in metrics.items()}
+                        parts = " ".join(
+                            f"{k}={v:0.4f}" for k, v in m.items())
+                        log(f"Epoch {epoch} step {step}: {parts}")
+                        self.metrics.write(step, m, epoch=epoch)
+
+                def run_chunk():
+                    nonlocal n_steps
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *chunk)
+                    rngs = jnp.stack(chunk_rngs)
+                    self._flat_state, metrics = self._flat_multi_step(
+                        self._flat_state, stacked, rngs)
+                    for i in range(len(chunk)):
+                        log_step(self.step, metrics, row=i)
+                        self.profiler.step(self.step)
+                        self.step += 1
+                        n_steps += 1
+
                 for batch in train_batches(epoch):
                     batch = dict(batch)
                     batch.pop("ques_id", None)
                     rng, step_rng = jax.random.split(rng)
+                    if k_loop > 1:
+                        chunk.append(batch)
+                        chunk_rngs.append(step_rng)
+                        if len(chunk) == k_loop:
+                            run_chunk()
+                            chunk, chunk_rngs = [], []
+                        continue
                     if self.flat_mode:
                         self._flat_state, metrics = self._flat_train_step(
                             self._flat_state, batch, step_rng)
@@ -214,11 +263,15 @@ class Trainer:
                         self.params, self.opt_state, metrics = \
                             self._train_step(
                                 self.params, self.opt_state, batch, step_rng)
-                    if self.step % cfg.log_freq == 0:
-                        m = {k: float(v) for k, v in metrics.items()}
-                        parts = " ".join(f"{k}={v:0.4f}" for k, v in m.items())
-                        log(f"Epoch {epoch} step {self.step}: {parts}")
-                        self.metrics.write(self.step, m, epoch=epoch)
+                    log_step(self.step, metrics)
+                    self.profiler.step(self.step)
+                    self.step += 1
+                    n_steps += 1
+                # trailing partial chunk: single-step fallback
+                for batch, step_rng in zip(chunk, chunk_rngs):
+                    self._flat_state, metrics = self._flat_train_step(
+                        self._flat_state, batch, step_rng)
+                    log_step(self.step, metrics)
                     self.profiler.step(self.step)
                     self.step += 1
                     n_steps += 1

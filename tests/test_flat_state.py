@@ -223,3 +223,93 @@ def test_flat_layout_1d_matches_2d():
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_multi_step_scan_matches_single_steps():
+    """make_flat_multi_step(k) == k sequential make_flat_train_step calls,
+    bitwise (same per-step keys flow through the scan)."""
+    import flax.linen as nn
+
+    from shgvqa_tpu.train.flat_state import (
+        build_flat_state,
+        flat_to_variables,
+        make_flat_multi_step,
+        make_flat_train_step,
+    )
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, batch, deterministic=True, rngs=None):
+            w = self.param("w", nn.initializers.ones, (4, 4))
+            h = batch["x"] @ w
+            h = nn.Dropout(0.2)(h, deterministic=deterministic)
+            return {"y": h}
+
+    model = Toy()
+    rng = jax.random.PRNGKey(0)
+    batches = [{"x": jax.random.normal(jax.random.fold_in(rng, i), (2, 4))}
+               for i in range(3)]
+    variables = model.init(rng, batches[0])
+
+    def losses(cfg, outputs, batch):
+        loss = jnp.sum(outputs["y"] ** 2)
+        return loss, {"total_loss": loss}
+
+    keys = [jax.random.fold_in(jax.random.PRNGKey(7), i) for i in range(3)]
+
+    state, spec = build_flat_state(variables)
+    single = make_flat_train_step(
+        None, model, spec, lr=1e-2, t_total=-1, compute_losses=losses,
+        donate=False)
+    s1 = state
+    single_losses = []
+    for b, k in zip(batches, keys):
+        s1, m = single(s1, b, k)
+        single_losses.append(float(m["total_loss"]))
+
+    multi = make_flat_multi_step(
+        None, model, spec, lr=1e-2, t_total=-1, compute_losses=losses,
+        donate=False)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+    s2, metrics = multi(state, stacked, jnp.stack(keys))
+
+    np.testing.assert_array_equal(np.asarray(s1.flat), np.asarray(s2.flat))
+    np.testing.assert_array_equal(np.asarray(s1.m), np.asarray(s2.m))
+    assert int(s2.step) == 3
+    np.testing.assert_allclose(
+        np.asarray(metrics["total_loss"]), np.asarray(single_losses),
+        rtol=1e-6)
+
+
+def test_trainer_steps_per_loop_matches_single(tmp_path, monkeypatch):
+    """Trainer with --stepsPerLoop 2 (incl. a trailing partial chunk)
+    reproduces the steps_per_loop=1 trajectory (same keys/batches; float
+    noise only — XLA fuses the scanned body slightly differently, ~1e-5
+    relative after 6 BertAdam steps)."""
+    from shgvqa_tpu.data.pipeline import Batcher
+    from shgvqa_tpu.train.loop import Trainer
+
+    cfg = tiny_test_config(task="hgqa")
+    items = _items(cfg)          # 6 items / batch 2 = 3 steps: chunk + tail
+    finals = {}
+    for k_loop in (1, 2):
+        monkeypatch.setenv("SHGVQA_FLAT_STATE", "1")
+        out = tmp_path / f"k{k_loop}"
+        out.mkdir()
+        tr = Trainer(cfg.replace(output=str(out), steps_per_loop=k_loop),
+                     steps_per_epoch=3)
+        batcher = Batcher(items, batch_size=2, shuffle=False, seed=0)
+        first = next(batcher.epoch(0))
+        first = {kk: v for kk, v in first.items()
+                 if kk not in ("ques_id", "n_valid")}
+        tr.init_params(first)
+        tr.train(lambda epoch: batcher.epoch(epoch), evaluate=None)
+        tr._sync_params_from_flat()
+        finals[k_loop] = jax.device_get(tr.params)
+        assert tr.step == 3 * cfg.optim.epochs
+
+    a = jax.tree_util.tree_leaves(finals[1]["params"])
+    b = jax.tree_util.tree_leaves(finals[2]["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=1e-7)

@@ -95,9 +95,14 @@ def main() -> None:
 
     # flat-major state (train/flat_state.py), the Trainer's default on this
     # platform; SHGVQA_FLAT_STATE=0 A/Bs the per-leaf tree path
+    # k steps per device launch (lax.scan over k staged batches): amortizes
+    # the relay's per-thunk dispatch (~2500 thunks x ~0.2 ms against ~58 ms
+    # device busy at b64) — see flat_state.make_flat_multi_step
+    k_steps = int(os.environ.get("SHGVQA_BENCH_MULTISTEP", "1"))
     if os.environ.get("SHGVQA_FLAT_STATE", "1") == "1":
         from shgvqa_tpu.train.flat_state import (
             build_flat_state,
+            make_flat_multi_step,
             make_flat_train_step,
         )
 
@@ -106,13 +111,27 @@ def main() -> None:
         layout = os.environ.get("SHGVQA_FLAT_LAYOUT", "1d")
         state, spec = build_flat_state(params, layout=layout)
         del params
-        step_fn = make_flat_train_step(cfg, model, spec, lr=1e-5,
-                                       t_total=1000, warmup=0.1)
+        if k_steps > 1:
+            multi_fn = make_flat_multi_step(cfg, model, spec,
+                                            lr=1e-5, t_total=1000, warmup=0.1)
+            batches = jax.device_put(jax.tree_util.tree_map(
+                lambda x: np.broadcast_to(
+                    np.asarray(x)[None], (k_steps,) + np.shape(x)).copy(),
+                jax.device_get(batch)))
 
-        def train_step(carry, b, k):
-            st, _ = carry
-            st, metrics = step_fn(st, b, k)
-            return (st, metrics["total_loss"])
+            def train_step(carry, b, k):
+                st, _ = carry
+                rngs = jax.random.split(k, k_steps)
+                st, metrics = multi_fn(st, batches, rngs)
+                return (st, metrics["total_loss"][-1])
+        else:
+            step_fn = make_flat_train_step(cfg, model, spec, lr=1e-5,
+                                           t_total=1000, warmup=0.1)
+
+            def train_step(carry, b, k):
+                st, _ = carry
+                st, metrics = step_fn(st, b, k)
+                return (st, metrics["total_loss"])
 
         carry = (state, jnp.zeros(()))
     else:
@@ -162,14 +181,16 @@ def main() -> None:
     if prof:
         jax.profiler.stop_trace()
 
-    cps = batch_size * iters / dt / max(1, jax.device_count())
+    steps = iters * k_steps     # each launch runs k_steps real steps
+    cps = batch_size * steps / dt / max(1, jax.device_count())
     print(json.dumps({
         "metric": (f"train clips/sec/chip (HGQA b{batch_size} bf16"
+                   + (f" x{k_steps}" if k_steps > 1 else "")
                    + (f" {aug}" if aug != "no_aug" else "") + ")"),
         "value": round(cps, 2),
         "unit": "clips/s/chip",
         "compile_s": round(compile_s, 1),
-        "step_ms": round(1000 * dt / iters, 1),
+        "step_ms": round(1000 * dt / steps, 1),
     }))
 
 

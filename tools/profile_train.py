@@ -50,6 +50,12 @@ def main() -> None:
     from shgvqa_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # match the shipped driver/bench defaults: hardware rbg PRNG for dropout
+    # bits (threefry mask generation alone is ~37 ms/layer at b32 in the
+    # trace; SHGVQA_RBG=0 to profile the threefry path)
+    if (os.environ.get("SHGVQA_RBG", "1") == "1"
+            and jax.devices()[0].platform in ("tpu", "axon")):
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     from __graft_entry__ import _example_batch, _flagship_cfg
     from shgvqa_tpu.models.shgvqa import VideoShgVqaModel
