@@ -202,10 +202,10 @@ def run_driver(dataset: str, argv=None) -> dict:
     )
     example = _example_from(train_batcher)
     trainer.init_params(example)
-    if cfg.freeze_backbone and cfg.task != "q":
-        # rebuild optimizer with the backbone masked out, reusing the
-        # already-initialized params (init is a full-device trace)
-        mask = _backbone_mask(trainer.params)
+    if (cfg.freeze_backbone and cfg.task != "q") or cfg.freeze_weights:
+        # rebuild optimizer with the frozen subtrees masked out, reusing
+        # the already-initialized params (init is a full-device trace)
+        mask = _trainable_mask(trainer.params, cfg)
         params = trainer.params
         trainer = Trainer(
             cfg, steps_per_epoch=max(1, len(train_batcher)),
@@ -392,16 +392,36 @@ def _example_from(batcher: Batcher):
     return batch
 
 
-def _backbone_mask(params):
-    """True = trainable; backbone subtree frozen."""
+def _trainable_mask(params, cfg):
+    """True = trainable.  Freezes per the active policy flags:
+
+    - ``freeze_backbone``: the video backbone subtree (star.py:87-88);
+    - ``freeze_weights`` (--freezeWeights): the LXRT encoder — embeddings
+      plus every encoder sublayer EXCEPT the cross-modal x_layers; pooler,
+      decoders and heads stay trainable (NoCapsModel.freeze_weights,
+      modeling_capsbert.py:1393-1397,1905-1909).
+    """
     import jax
 
-    def mask_tree(tree, frozen):
-        return jax.tree_util.tree_map(lambda _: not frozen, tree)
+    def decide(path):
+        keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+        if cfg.freeze_backbone and "backbone" in keys:
+            return False
+        if cfg.freeze_weights:
+            for enc_key in ("lxrt", "bert_encoder"):
+                if enc_key in keys:
+                    rest = keys[keys.index(enc_key) + 1:]
+                    if not rest:
+                        return True
+                    if rest[0] == "embeddings":
+                        return False
+                    if rest[0] == "encoder":
+                        # only x_{i}/x_tied/x_stack survive
+                        return len(rest) > 1 and rest[1].startswith("x_")
+                    if rest[0].startswith("l_"):
+                        return False   # LanguageEncoder layers (q-only)
+                    return True        # pooler
+        return True
 
-    out = {}
-    for top_k, sub in params.items():
-        out[top_k] = {}
-        for k, v in sub.items():
-            out[top_k][k] = mask_tree(v, frozen=(k == "backbone"))
-    return out
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: decide(path), params)

@@ -225,6 +225,7 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         num_vis_caps=ns.NUM_VIS_CAPS,
         pose_dim=ns.POSE_DIM,
         caps_skip_connection=ns.skip_connection,
+        shared_weights=ns.shared_weights,
         patches=ns.patches,
         vit_init=ns.vit_init,
         # --patches flips the visual feature dim to the 32x32 RGB patch
@@ -300,6 +301,7 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         mesh=mesh,
         backbone=ns.backbone,
         freeze_backbone=(ds == "star"),
+        freeze_weights=ns.freeze_weights,
         from_scratch=ns.from_scratch,
         loss_hg_per_frame=ns.loss_hg_per_frame,
         use_hg_mask=ns.use_hg_mask,

@@ -65,6 +65,11 @@ class EncoderConfig:
     pose_dim: int = 4             # --POSE_DIM
     caps_mask_features: bool = False   # language-conditioned capsule masking
     caps_skip_connection: bool = False # --skipConnection
+    # --sharedWeights: the visual stream runs through the LANGUAGE layers
+    # (one weight set for both streams) instead of separate r_layers —
+    # LXRTCapsulesEncoder's shared_weights branch
+    # (modeling_capsbert.py:1366,1471-1477)
+    shared_weights: bool = False
     # --patches: linear 32x32-RGB-patch tokenizer instead of backbone+conv
     # (modeling_capsbert.py:978-996; visual_feat_dim flips to 3072 there).
     # The backbone is skipped entirely — frames are patchified on device.
@@ -198,6 +203,12 @@ class Config:
     backbone: str = "slow_r50"     # --backbone
     freeze_backbone: bool = True   # STAR freezes explicitly (star.py:87-88);
                                    # AGQA only eval()s BN — see models/backbone.py
+    # --freezeWeights: freeze the LXRT encoder (embeddings + l/r layers +
+    # visual tokenizer) EXCEPT the cross-modal x_layers; pooler, decoders
+    # and heads stay trainable (NoCapsModel.freeze_weights,
+    # modeling_capsbert.py:1905-1909, applied at build when the flag is set,
+    # :2183-2184)
+    freeze_weights: bool = False
     from_scratch: bool = True      # --fromScratch (published recipes train from scratch)
 
     # hypergraph supervision

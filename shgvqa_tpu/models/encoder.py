@@ -69,10 +69,10 @@ class TriStreamEncoder(nn.Module):
             else BertLayer
         )
         if c.scan_layers:
-            if c.vit_init:
+            if c.vit_init or c.shared_weights:
                 raise ValueError(
-                    "vit_init r_layers are not available with scan_layers; "
-                    "rerun with scan_layers=False")
+                    "vit_init/shared_weights r_layers are not available "
+                    "with scan_layers; rerun with scan_layers=False")
             from shgvqa_tpu.models.scan_stacks import (
                 ScannedBertStack,
                 ScannedCrossStack,
@@ -130,7 +130,16 @@ class TriStreamEncoder(nn.Module):
                 )
         self.l_layers = [layer_cls(**kw, name=f"l_{i}")
                          for i in range(c.l_layers)]
-        if c.vit_init:
+        if c.shared_weights:
+            # --sharedWeights: ONE weight set serves both streams — the
+            # visual tokens run through the language layers (so the visual
+            # stream depth is l_layers, exactly like the reference's
+            # get_masked_vis_feats(self.layer, ...) call,
+            # modeling_capsbert.py:1471-1477); takes precedence over
+            # vit_init, whose branch the reference only reaches when NOT
+            # shared (:1366)
+            self.r_layers = []    # visual stream reuses l_layers (call site)
+        elif c.vit_init:
             # --vitInit: r_layers are pre-LN ViT blocks (initialized from a
             # pretrained ViT-B/32 checkpoint via tools/convert_vit.py); they
             # take no attention mask, exactly as the reference invokes them
@@ -216,7 +225,10 @@ class TriStreamEncoder(nn.Module):
             attn["lang"].append(p)
         lang_snapshot = lang
 
-        for layer in self.r_layers:
+        # --sharedWeights: the visual stream reuses the LANGUAGE layers
+        # (one weight set, l_layers-deep visual stack; see setup)
+        r_layers = self.l_layers if c.shared_weights else self.r_layers
+        for layer in r_layers:
             visn, p = layer(visn, visn_mask, deterministic, output_attentions)
             attn["visn"].append(p)
         visn_snapshot = visn
