@@ -226,6 +226,7 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         pose_dim=ns.POSE_DIM,
         caps_skip_connection=ns.skip_connection,
         shared_weights=ns.shared_weights,
+        caps_cross_attn=ns.cross_attn,
         patches=ns.patches,
         vit_init=ns.vit_init,
         # --patches flips the visual feature dim to the 32x32 RGB patch

@@ -70,6 +70,12 @@ class EncoderConfig:
     # LXRTCapsulesEncoder's shared_weights branch
     # (modeling_capsbert.py:1366,1471-1477)
     shared_weights: bool = False
+    # --crossAttn: in the CAPSULE path the cross-modal x_layers exist and
+    # run only when set (modeling_capsbert.py:1360-1363,1485-1488; argparse
+    # default False, param.py:90) — the default capsule encoder has NO
+    # stream interaction beyond language-conditioned masking.  The no-caps
+    # path always cross-attends (NoCapsEncoder ignores the flag).
+    caps_cross_attn: bool = False
     # --patches: linear 32x32-RGB-patch tokenizer instead of backbone+conv
     # (modeling_capsbert.py:978-996; visual_feat_dim flips to 3072 there).
     # The backbone is skipped entirely — frames are patchified on device.

@@ -90,7 +90,8 @@ class TriStreamEncoder(nn.Module):
             self.r_stack = ScannedBertStack(
                 num_layers=c.r_layers, remat=self.remat, **stack_kw,
                 name="r_stack")
-            if c.cross_attn_type in ("cross", "old"):
+            if (c.cross_attn_type in ("cross", "old")
+                    and (c.no_caps or c.caps_cross_attn)):
                 self.x_stack = ScannedCrossStack(
                     layer_cls=CROSS_LAYER_TYPES[c.cross_attn_type],
                     num_layers=c.x_layers, tie=c.tie_x_layers,
@@ -157,7 +158,12 @@ class TriStreamEncoder(nn.Module):
             self.r_layers = [layer_cls(**kw, name=f"r_{i}")
                              for i in range(c.r_layers)]
         x_layer_cls = CROSS_LAYER_TYPES[c.cross_attn_type]
-        if c.scan_layers and c.cross_attn_type in ("cross", "old"):
+        if not c.no_caps and not c.caps_cross_attn:
+            # capsule path without --crossAttn: NO cross-modal layers exist
+            # (modeling_capsbert.py:1360-1363, argparse default False) —
+            # the streams only interact through capsule masking
+            self.x_layers = []
+        elif c.scan_layers and c.cross_attn_type in ("cross", "old"):
             self.x_layers = []    # scanned x_stack used instead
         elif c.tie_x_layers:
             self.x_layers = [x_layer_cls(**kw, name="x_tied")]

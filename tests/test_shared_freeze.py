@@ -185,3 +185,55 @@ def test_freeze_weights_driver_one_step(tmp_path, monkeypatch):
     x1 = np.concatenate([np.ravel(x) for x in
                          jax.tree_util.tree_leaves(enc1["encoder"]["x_tied"])])
     assert np.abs(x0 - x1).max() > 0.0, "x_layers must keep training"
+
+
+def test_caps_cross_attn_gating():
+    """Capsule path: x_layers exist only with --crossAttn
+    (modeling_capsbert.py:1360-1363,1485-1488; argparse default False)."""
+    import dataclasses
+
+    from shgvqa_tpu.models.shgvqa import ShgVqaModel
+
+    base = tiny_test_config()
+    rng = np.random.RandomState(0)
+    d = base.data
+
+    def build(caps_cross_attn):
+        enc = dataclasses.replace(
+            base.encoder, no_caps=False, num_prim_caps=4, num_vis_caps=3,
+            pose_dim=2, visual_t=d.clip_len, caps_cross_attn=caps_cross_attn)
+        cfg = tiny_test_config(task="vqa", encoder=enc)
+        model = ShgVqaModel(cfg)
+        batch = {
+            "input_ids": rng.randint(
+                1, enc.vocab_size, (2, d.max_seq_length)).astype(np.int32),
+            "input_mask": np.ones((2, d.max_seq_length), np.int32),
+            "segment_ids": np.zeros((2, d.max_seq_length), np.int32),
+            "visual_feats": rng.randn(
+                2, d.clip_len, enc.visual_hw, enc.visual_hw,
+                enc.visual_feat_dim).astype(np.float32),
+            "visual_mask": np.ones((2, enc.visual_seq_length), np.int32),
+            "target": np.eye(cfg.num_answers, dtype=np.float32)[:2],
+        }
+        params = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
+        out = model.apply(params, batch, deterministic=True)
+        return params, out, cfg
+
+    p_off, out_off, cfg = build(False)
+    assert "x_tied" not in p_off["params"]["lxrt"]["encoder"]
+    assert np.isfinite(np.asarray(out_off["logit"])).all()
+
+    p_on, out_on, _ = build(True)
+    assert "x_tied" in p_on["params"]["lxrt"]["encoder"]
+    assert np.isfinite(np.asarray(out_on["logit"])).all()
+
+
+def test_caps_cross_attn_flag_flows_from_cli():
+    from shgvqa_tpu.configs.cli import parse_reference_flags
+
+    cfg = parse_reference_flags(
+        ["--taskVQA", "--crossAttn", "--train", "train"], dataset="agqa")
+    assert cfg.encoder.caps_cross_attn
+    cfg = parse_reference_flags(
+        ["--taskVQA", "--train", "train"], dataset="agqa")
+    assert not cfg.encoder.caps_cross_attn
