@@ -63,7 +63,12 @@ class EncoderConfig:
     num_prim_caps: int = 32       # --NUM_PRIM_CAPS
     num_vis_caps: int = 32        # --NUM_VIS_CAPS
     pose_dim: int = 4             # --POSE_DIM
-    caps_mask_features: bool = False   # language-conditioned capsule masking
+    # language-conditioned capsule masking: the reference capsule forward
+    # ALWAYS masks the capsule tokens with a softmax over capsule types from
+    # the language CLS before the visual stack (modeling_capsbert.py:
+    # 1448-1458); True is reference behavior (no flag exists upstream),
+    # False is an ablation knob
+    caps_mask_features: bool = True
     caps_skip_connection: bool = False # --skipConnection
     # --sharedWeights: the visual stream runs through the LANGUAGE layers
     # (one weight set for both streams) instead of separate r_layers —
