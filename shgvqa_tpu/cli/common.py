@@ -247,6 +247,15 @@ def run_driver(dataset: str, argv=None) -> dict:
                   "tools/fetch_bert_vocab.py notes)", flush=True)
     if extras.get("load_lxmert"):
         trainer.load_encoder(extras["load_lxmert"])   # --loadLXMERT
+    if extras.get("load_lxmert_qa"):
+        # --loadLXMERTQA: encoder restore + answer-head surgery keyed by
+        # answer string (qa_answer_table.py:84-158; the reference drivers
+        # ship this call commented out — live here)
+        a2l = getattr(train_data, "answer_vocab", None)
+        if a2l is None:
+            a2l = getattr(train_data, "ans2label")
+        label2ans = {int(v): k for k, v in a2l.items()}
+        trainer.load_lxmert_qa(extras["load_lxmert_qa"], label2ans)
     if cfg.load:
         trainer.load(cfg.load)
 
@@ -271,6 +280,10 @@ def run_driver(dataset: str, argv=None) -> dict:
         evaluate if valid_batcher is not None else None,
     )
     results.update(summary)
+    if cfg.output_attention and valid_batcher is not None:
+        # the reference dumps attention files from predict() on the valid
+        # split when --outputAttn is set (star.py:540-547)
+        _dump_attentions(cfg, trainer, valid_batcher)
     return results
 
 
@@ -316,23 +329,49 @@ _ATTN_STREAM = {"cross": "xl", "old": "xl", "self": "vl", "cross_self": "vl"}
 
 def _dump_attentions(cfg: Config, trainer: Trainer, batcher: Batcher,
                      max_batches: int = 4) -> None:
-    """--outputAttn: reference-style per-question attention dumps during
-    predict (agqaHGQA.py:561-605) plus full npz maps.
+    """--outputAttn: the reference's per-question attention dumps from
+    predict — ``{output}/val_attentions_cross_2.json`` (answer-head entries
+    with Hungarian-matched rel/act grids) and
+    ``{output}/hg_val_attentions_cross_2.json`` (hg-head entries), the files
+    ``star.py:540-547``/``agqaHGQA.py:561-605`` build — plus full npz maps.
 
     Per question, the dumped "attention" is the CLS-query row of the LAST
-    cross-layer's selected stream ([:, :, 0, :] over heads) exactly like
-    ``attn_probs[attn_idx[type]][-1]['attn'][:, :, 0, :]`` -- except sliced
-    to the question's own batch row (the reference attaches the whole
-    batch's scores to every result, a documented bug)."""
+    HGQ cross-layer's selected stream, exactly
+    ``attn_probs[attn_idx[type]][-1]['attn'][:, :, 0, :]`` (the model
+    returns the HGQ CrossEncoder's (t, v, xl, xv, vl) lists and attn_idx
+    picks xl for 'cross'/'old', vl for 'self'/'cross_self').  Documented
+    divergences from the shipped code: scores are sliced to the question's
+    own batch row (the reference attaches the whole batch's scores to every
+    result), files land under --output (not a hardcoded ``snap/star/``),
+    and they actually get written (STAREvaluator.save_json opens 'wb' and
+    TypeErrors into a bare except upstream, star_data.py:307-309)."""
     import jax
 
+    from shgvqa_tpu.losses.set_prediction import matched_target_grid
+
     model = trainer.model
-    attn_fn = jax.jit(lambda p, b: model.apply(
-        p, b, deterministic=True, output_attentions=True))
+    has_hg_labels = cfg.task in ("hgqa", "vhga", "hgvqa") and not cfg.gt_hg
+
+    def fwd(p, b):
+        out = model.apply(p, b, deterministic=True, output_attentions=True)
+        if has_hg_labels and "rel_preds" in out and "rel_labels" in b:
+            # get_target_classes grids (agqaHGQA.py:548-559): matched
+            # queries carry their assigned target class, rest background
+            out["rel_grid"] = matched_target_grid(
+                out["rel_preds"], b["rel_labels"], b["rel_lengths"],
+                per_frame=cfg.loss_hg_per_frame,
+                num_situations=cfg.data.num_situations)
+            out["act_grid"] = matched_target_grid(
+                out["act_preds"], b["act_labels"], b["act_lengths"],
+                per_frame=cfg.loss_hg_per_frame,
+                num_situations=cfg.data.num_situations)
+        return out
+
+    attn_fn = jax.jit(fwd)
     out_dir = os.path.join(cfg.output, "attentions")
     os.makedirs(out_dir, exist_ok=True)
     stream = _ATTN_STREAM[cfg.encoder.cross_attn_type]
-    results = []
+    results, hg_results = [], []
     for bi, batch in enumerate(batcher.epoch(0)):
         if bi >= max_batches:
             break
@@ -342,22 +381,38 @@ def _dump_attentions(cfg: Config, trainer: Trainer, batcher: Batcher,
         out = attn_fn(trainer.params, batch)
         attn = jax.device_get(out.get("attentions", {}))
 
-        # per-question CLS-row scores from the last cross layer
-        cross_layers = (attn.get("encoder") or {}).get("cross") or []
+        # last HGQ cross layer's selected stream, CLS row over heads
+        hgq_layers = attn.get("hgq") or []
         cls_rows = None
-        if cross_layers and cross_layers[-1] and stream in cross_layers[-1]:
-            last = np.asarray(cross_layers[-1][stream])  # (B, H, Lq, Lk)
+        if hgq_layers and hgq_layers[-1] and \
+                hgq_layers[-1].get(stream) is not None:
+            last = np.asarray(hgq_layers[-1][stream])  # (B, H, Lq, Lk)
             cls_rows = last[:, :, 0, :]
-        preds = np.asarray(
-            jax.device_get(out.get("hg_logit", out["logit"])))
-        if preds.ndim > 1:
-            preds = preds.argmax(-1)
+
+        host = {k: np.asarray(jax.device_get(out[k]))
+                for k in ("logit", "hg_logit", "rel_grid", "act_grid")
+                if k in out}
+        label = host["logit"].argmax(-1)
+        hg_label = host["hg_logit"].argmax(-1)
         for i, qid in enumerate(qids[:n_valid]):
-            results.append({
+            att = cls_rows[i].tolist() if cls_rows is not None else []
+            entry = {
                 "questionId": qid,
-                "prediction": int(preds[i]),
-                "attention": (cls_rows[i].tolist()
-                              if cls_rows is not None else []),
+                "prediction": int(label[i]),
+                "attention": att,
+            }
+            if "rel_grid" in host:
+                entry["act_gt"] = np.asarray(
+                    batch["act_labels"][i]).tolist()
+                entry["act_pred"] = host["act_grid"][i].tolist()
+                entry["rel_gt"] = np.asarray(
+                    batch["rel_labels"][i]).tolist()
+                entry["rel_pred"] = host["rel_grid"][i].tolist()
+            results.append(entry)
+            hg_results.append({
+                "questionId": qid,
+                "prediction": int(hg_label[i]),
+                "attention": att,
             })
 
         flat = {}
@@ -379,10 +434,12 @@ def _dump_attentions(cfg: Config, trainer: Trainer, batcher: Batcher,
             np.savez_compressed(
                 os.path.join(out_dir, f"batch{bi:03d}.npz"),
                 ques_ids=np.asarray(qids), **flat)
-    with open(os.path.join(out_dir, "results.json"), "w") as f:
-        json.dump(results, f)
-    print(f"attention dumps written to {out_dir} "
-          f"({len(results)} questions)", flush=True)
+    for name, payload in (("val_attentions_cross_2.json", results),
+                          ("hg_val_attentions_cross_2.json", hg_results)):
+        with open(os.path.join(cfg.output, name), "w") as f:
+            json.dump(payload, f)
+    print(f"attention dumps written to {cfg.output} "
+          f"({len(results)} questions; npz maps in {out_dir})", flush=True)
 
 
 def _example_from(batcher: Batcher):

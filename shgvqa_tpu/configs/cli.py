@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tqdm", action="store_true")
     p.add_argument("--load", type=str, default=None)
     p.add_argument("--loadLXMERT", dest="load_lxmert", type=str, default=None)
+    # --loadLXMERTQA (param.py:61-64): restore a pretraining snapshot AND
+    # initialize the answer head by answer-string matching.  Every reference
+    # driver ships with the call commented out (agqaHGQA.py:119-121,
+    # agqaQ.py:98-100, agqaVQA.py:101-103) — here the wiring is live
+    # (Trainer.load_lxmert_qa / qa_answer_table.py:84-158 semantics).
+    p.add_argument("--loadLXMERTQA", dest="load_lxmert_qa", type=str,
+                   default=None)
     p.add_argument("--fromScratch", dest="from_scratch", action="store_true")
     p.add_argument("--mceLoss", dest="mce_loss", action="store_true")
     p.add_argument("--noObjWeight", dest="no_object_weight", type=float, default=0.1)
@@ -176,6 +183,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--visualLosses", dest="visual_losses",
                    default="obj,attr,feat")
     p.add_argument("--qaSets", dest="qa_sets", default=None)
+    # --excludeSet is accepted verbatim (param.py:114) but has NO consumer
+    # in the reference's shipped sources either (only param.py defines it);
+    # kept for CLI compatibility.
+    p.add_argument("--excludeSet", dest="exclude_set", default="")
+    # --taskGrounding is a LATENT CRASH in the reference: the GroundingHead
+    # import is commented out (modeling_capsbert.py:37,44) so :2040 raises
+    # NameError the moment the flag is set.  Accept the spelling, fail with
+    # a diagnosis instead of an obscure crash.
+    p.add_argument("--taskGrounding", dest="task_grounding",
+                   action="store_true")
     p.add_argument("--wordMaskRate", dest="word_mask_rate", type=float,
                    default=0.15)
     p.add_argument("--objMaskRate", dest="obj_mask_rate", type=float,
@@ -216,6 +233,17 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
     dataset by which driver script you run: agqaHGQA.py vs star.py).
     """
     ns = build_parser().parse_args(argv)
+    if getattr(ns, "task_grounding", False):
+        raise SystemExit(
+            "--taskGrounding is not runnable: the reference's GroundingHead "
+            "import is commented out (modeling_capsbert.py:37,44), so the "
+            "flag NameErrors there too (:2040). No grounding head exists to "
+            "rebuild.")
+    if getattr(ns, "attn_routing", False):
+        raise SystemExit(
+            "--attnRouting is not runnable: the reference hardcodes "
+            "is_attn_routing=False and raises NotImplementedError otherwise "
+            "(modeling_capsbert.py:1005,1010-1011).")
     cfg = Config()
     ds = dataset or ns.dataset or "agqa"
 
@@ -343,6 +371,7 @@ def parse_reference_flags_with_extras(argv: Optional[Sequence[str]] = None,
         "vocab_path": ns.vocab_path,
         "tqdm": ns.tqdm,
         "load_lxmert": ns.load_lxmert,
+        "load_lxmert_qa": ns.load_lxmert_qa,
         "bert_weights": ns.bert_weights,
         "backbone_weights": ns.backbone_weights,
         "vit_weights": ns.vit_weights,

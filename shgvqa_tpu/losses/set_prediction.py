@@ -54,6 +54,39 @@ def matched_top1_accuracy(logits: jnp.ndarray, targets: jnp.ndarray,
     )
 
 
+def matched_target_grid(
+    logits: jnp.ndarray,        # (B, Q, C) decoder class logits
+    labels: jnp.ndarray,        # per-frame: (B, S, K); global: (B, S, K)|(B, N)
+    lengths: jnp.ndarray,       # per-frame: (B, S); global: (B, S)|(B,)
+    per_frame: bool,
+    num_situations: int,
+    background_idx: int = 0,
+) -> jnp.ndarray:
+    """The reference's ``get_target_classes`` grid (``agqaHGQA.py:178-201``):
+    matched queries carry their Hungarian-assigned target class, everything
+    else the background index.  Returned as (B, num_situations, Q/S) — the
+    ``rel_lbls.view(b, 16, -1)`` layout the attention dumps serialize
+    (``agqaHGQA.py:576-577``, ``star.py:502-503``)."""
+    b, q, c = logits.shape
+    s = num_situations
+    if per_frame:
+        grid, _ = match_targets_per_frame(
+            logits.reshape(b, s, q // s, c), labels, lengths,
+            background_idx=background_idx)
+    else:
+        if labels.ndim == 3:
+            bsz, si, k = labels.shape
+            valid = (jnp.arange(k)[None, None, :]
+                     < lengths[:, :, None]).reshape(bsz, si * k)
+            flat = labels.reshape(bsz, si * k)
+            order = jnp.argsort(~valid, axis=-1, stable=True)
+            labels = jnp.take_along_axis(flat, order, axis=-1)
+            lengths = valid.sum(axis=-1).astype(lengths.dtype)
+        grid, _ = match_targets_global(
+            logits, labels, lengths, background_idx=background_idx)
+    return grid.reshape(b, s, -1)
+
+
 def hungarian_set_loss(
     logits: jnp.ndarray,        # (B, Q, C) decoder class logits
     labels: jnp.ndarray,        # per-frame: (B, S, K); global: (B, N)

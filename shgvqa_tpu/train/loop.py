@@ -48,6 +48,9 @@ class Trainer:
         self.flat_mode = (
             mesh is None and shardings is None
             and cfg.mesh.model_parallel <= 1
+            # the flat step body hardcodes BertAdam math; --optim
+            # rms/adam/adamax/sgd (param.py:11-30) runs in tree mode
+            and "bert" in cfg.optim.optim
             and os.environ.get("SHGVQA_FLAT_STATE", "1") == "1")
         # optimizer-tree mask: collections other than 'params' (BatchNorm
         # running stats) never enter the optimizer — they are torch BUFFERS
@@ -66,6 +69,7 @@ class Trainer:
             weight_decay=cfg.optim.weight_decay,
             grad_clip=cfg.optim.grad_clip,
             trainable_mask=tm,
+            name=cfg.optim.optim,
             # flat (raveled) updates minimize kernel count but can trip a
             # libtpu horizontal-fusion layout pathology at some sizes
             # (see bert_adam_flat docstring) — opt in via SHGVQA_FLAT_OPT=1
@@ -435,19 +439,46 @@ class Trainer:
         if not _os.path.isabs(full):
             full = self.ckpt.path(full)
         restored = self.ckpt._ckptr.restore(full)
-        loaded, missing = [], []
         params = jax.device_get(self.params)
         owner, own_key = self._encoder_root(params["params"])
+
+        # name-matched partial load, NOT a wholesale subtree swap: the
+        # snapshot may come from a differently-configured encoder (e.g. a
+        # capsule-path pretraining run restored into a --noCaps model) and
+        # the reference tolerates that by loading strict=False and printing
+        # the diff (entry.py:224-238).
+        def walk(dst, src, prefix, stats):
+            for key, sval in src.items():
+                name = f"{prefix}/{key}"
+                if not isinstance(dst, dict) or key not in dst:
+                    stats["unexpected"].append(name)
+                elif isinstance(sval, dict):
+                    walk(dst[key], sval, name, stats)
+                elif getattr(dst[key], "shape", None) != \
+                        getattr(sval, "shape", None):
+                    stats["shape_mismatch"].append(
+                        f"{name} {getattr(sval, 'shape', None)}->"
+                        f"{getattr(dst[key], 'shape', None)}")
+                else:
+                    dst[key] = jnp.asarray(sval)
+                    stats["loaded"] += 1
+
+        stats = {"loaded": 0, "unexpected": [], "shape_mismatch": []}
         for key, subtree in restored.items():
-            if key == own_key:
-                owner[key] = jax.tree_util.tree_map(jnp.asarray, subtree)
-                loaded.append(key)
+            if key == own_key and isinstance(subtree, dict):
+                walk(owner[key], subtree, key, stats)
             else:
-                missing.append(key)
+                stats["unexpected"].append(key)
         self.params = params
-        self.metrics.log(
-            f"Loaded encoder snapshot from {full}: subtrees {loaded}"
-            + (f"; not in model: {missing}" if missing else ""))
+        msg = (f"Loaded encoder snapshot from {full}: "
+               f"{stats['loaded']} tensors")
+        if stats["unexpected"]:
+            msg += (f"; not in model ({len(stats['unexpected'])}): "
+                    f"{stats['unexpected'][:8]}")
+        if stats["shape_mismatch"]:
+            msg += (f"; shape mismatch ({len(stats['shape_mismatch'])}): "
+                    f"{stats['shape_mismatch'][:8]}")
+        self.metrics.log(msg)
         # optimizer moments restart (the reference never checkpoints them)
         self._reset_opt()
 

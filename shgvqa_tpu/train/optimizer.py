@@ -186,6 +186,86 @@ def bert_adam_flat(
     return optax.GradientTransformation(init, update)
 
 
+class PlainOptState(NamedTuple):
+    step: jnp.ndarray     # int32 scalar, 1-based after the first update
+    m: optax.Updates      # first moment (adam/adamax); unused zeros otherwise
+    v: optax.Updates      # second moment / square_avg / exp_inf
+
+
+def plain_optimizer(name: str, lr: float) -> optax.GradientTransformation:
+    """The reference's non-BertAdam path: ``--optim rms|adam|adamax|sgd``
+    binds a stock torch optimizer constructed with ONLY (params, lr)
+    (``param.py:11-30``, ``agqaHGQA.py:157``) — no schedule, no weight
+    decay, torch-default hyperparameters.  Each rule below reproduces the
+    torch 1.10 update exactly (parity-tested against torch.optim in
+    tests/test_optimizer.py):
+
+    - adam:   b1=.9 b2=.999 eps=1e-8, bias-corrected moments
+    - adamax: exp_inf = max(b2*u, |g|+eps), lr bias-corrected by (1-b1^t)
+    - rms:    alpha=.99, eps=1e-8 added OUTSIDE the sqrt
+    - sgd:    vanilla p -= lr*g (torch default momentum=0)
+    """
+    if name == "adam":
+        b1, b2, eps = 0.9, 0.999, 1e-8
+
+        def rule(g, m, v, p, t):
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * g * g
+            bc1 = 1.0 - b1 ** t
+            bc2 = 1.0 - b2 ** t
+            denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
+            return -(lr / bc1) * m / denom, m, v
+
+    elif name == "adamax":
+        b1, b2, eps = 0.9, 0.999, 1e-8
+
+        def rule(g, m, v, p, t):
+            m = b1 * m + (1.0 - b1) * g
+            u = jnp.maximum(b2 * v, jnp.abs(g) + eps)
+            bc1 = 1.0 - b1 ** t
+            return -(lr / bc1) * m / u, m, u
+
+    elif name == "rms":
+        alpha, eps = 0.99, 1e-8
+
+        def rule(g, m, v, p, t):
+            v = alpha * v + (1.0 - alpha) * g * g
+            return -lr * g / (jnp.sqrt(v) + eps), m, v
+
+    elif name == "sgd":
+        def rule(g, m, v, p, t):
+            return -lr * g, m, v
+
+    else:
+        raise ValueError(
+            f"unknown optimizer {name!r}; the reference accepts "
+            "rms/adam/adamax/sgd or any name containing 'bert' "
+            "(param.py:11-30)")
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return PlainOptState(
+            step=jnp.zeros((), jnp.int32),
+            m=zeros,
+            v=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        t = (state.step + 1).astype(jnp.float32)
+        out = jax.tree_util.tree_map(
+            lambda g, m, v, p: rule(g, m, v, p, t),
+            grads, state.m, state.v,
+            params if params is not None else grads)
+        treedef = jax.tree_util.tree_structure(grads)
+        leaves = treedef.flatten_up_to(out)
+        updates = jax.tree_util.tree_unflatten(
+            treedef, [u for u, _, _ in leaves])
+        m = jax.tree_util.tree_unflatten(treedef, [m for _, m, _ in leaves])
+        v = jax.tree_util.tree_unflatten(treedef, [v for _, _, v in leaves])
+        return updates, PlainOptState(step=state.step + 1, m=m, v=v)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     lr: float,
     t_total: int,
@@ -198,9 +278,13 @@ def make_optimizer(
     grad_clip: float = 5.0,
     trainable_mask: Optional[optax.Params] = None,
     flat: bool = False,
+    name: str = "bert",
 ) -> optax.GradientTransformation:
-    """clip-by-global-norm 5.0 -> BertAdam, optionally masked to trainable
-    params (frozen subtrees get zero updates).
+    """clip-by-global-norm 5.0 -> BertAdam (or the stock torch optimizer the
+    reference binds for ``--optim rms|adam|adamax|sgd``), optionally masked
+    to trainable params (frozen subtrees get zero updates).  The clip is
+    applied for EVERY optimizer: the reference clips in the train loop
+    unconditionally (agqaHGQA.py:391), not inside BertAdam.
 
     ``flat=True`` computes the identical update over raveled params in a
     handful of XLA ops (see bert_adam_flat) — a large win on per-op-dispatch
@@ -208,11 +292,18 @@ def make_optimizer(
     streams into an (N, 4) stack whose lane tiling pads 4->128 (32x HBM,
     compile OOM) at some model sizes, so the per-leaf composition is the
     safe default."""
+    if "bert" not in name:
+        # non-bert path: constant lr, torch-default hypers, external clip
+        inner = plain_optimizer(name, lr)
+        flat = False
+    else:
+        inner = None
     if flat:
         return bert_adam_flat(lr, t_total, warmup, schedule, b1, b2, eps,
                               weight_decay, grad_clip, trainable_mask)
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
+        inner if inner is not None else
         bert_adam(lr, t_total, warmup, schedule, b1, b2, eps, weight_decay),
     )
     if trainable_mask is not None:

@@ -54,3 +54,36 @@ def test_task_resolution_precedence():
     assert parse_reference_flags(["--taskVHGA"]).task == "vhga"
     assert parse_reference_flags(["--taskHGVQA"]).task == "hgvqa"
     assert parse_reference_flags([]).task == "hgqa"
+
+
+def test_flag_closure_vs_reference_param_py():
+    """Every flag the reference's param.py defines parses here too, and the
+    two latent-crash flags fail with a diagnosis instead of a NameError/
+    NotImplementedError deep in the model (param.py:33-201)."""
+    from shgvqa_tpu.configs.cli import (build_parser,
+                                        parse_reference_flags_with_extras)
+
+    # spellings lifted from param.py (value-taking ones get a dummy value)
+    parser = build_parser()
+    known = {a.option_strings[0] for a in parser._actions if a.option_strings}
+    for flag in ("--excludeSet", "--loadLXMERTQA", "--optim"):
+        assert flag in known, flag
+
+    _, extras = parse_reference_flags_with_extras(
+        ["--loadLXMERTQA", "snap/Epoch01"])
+    assert extras["load_lxmert_qa"] == "snap/Epoch01"
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="GroundingHead"):
+        parse_reference_flags_with_extras(["--taskGrounding"])
+    with _pytest.raises(SystemExit, match="attnRouting"):
+        parse_reference_flags_with_extras(["--attnRouting"])
+
+
+def test_nonbert_optim_flag_flows_to_trainer_mode():
+    """--optim adam must select the plain-optimizer tree path (the flat step
+    body hardcodes BertAdam math)."""
+    cfg = parse_reference_flags(["--optim", "adam"])
+    assert cfg.optim.optim == "adam"
+    cfg = parse_reference_flags(["--optim", "bert"])
+    assert cfg.optim.optim == "bert"

@@ -138,3 +138,95 @@ def test_flat_matches_per_leaf_over_steps():
                           jax.tree_util.tree_leaves(p2)):
             np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                        rtol=2e-5, atol=1e-6)
+
+
+# -- non-BertAdam path: --optim rms|adam|adamax|sgd -----------------------
+# The reference binds a stock torch optimizer with only (params, lr)
+# (param.py:11-30, agqaHGQA.py:157); global-norm clip 5.0 still happens in
+# the train loop (agqaHGQA.py:391).  Parity is checked against the ACTUAL
+# torch optimizers, trajectory-wise.
+
+@pytest.mark.parametrize("name", ["adam", "adamax", "rms", "sgd"])
+def test_plain_optimizer_matches_torch_trajectory(name):
+    torch = pytest.importorskip("torch")
+    from shgvqa_tpu.train.optimizer import plain_optimizer
+
+    torch_ctor = {
+        "adam": torch.optim.Adam,
+        "adamax": torch.optim.Adamax,
+        "rms": torch.optim.RMSprop,
+        "sgd": torch.optim.SGD,
+    }[name]
+    rng = np.random.RandomState(42)
+    shapes = [(5, 3), (7,), (2, 2, 2)]
+    p0 = [rng.randn(*s).astype(np.float32) for s in shapes]
+    grads = [[rng.randn(*s).astype(np.float32) for s in shapes]
+             for _ in range(6)]
+    lr = 0.07
+
+    tp = [torch.nn.Parameter(torch.tensor(p)) for p in p0]
+    topt = torch_ctor(tp, lr)
+    for gs in grads:
+        for p, g in zip(tp, gs):
+            p.grad = torch.tensor(g)
+        topt.step()
+
+    tx = plain_optimizer(name, lr)
+    params = {f"p{i}": jnp.asarray(p) for i, p in enumerate(p0)}
+    state = tx.init(params)
+    for gs in grads:
+        g = {f"p{i}": jnp.asarray(x) for i, x in enumerate(gs)}
+        updates, state = tx.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+
+    for i, p in enumerate(tp):
+        np.testing.assert_allclose(
+            np.asarray(params[f"p{i}"]), p.detach().numpy(),
+            rtol=3e-5, atol=1e-6)
+
+
+def test_make_optimizer_nonbert_clips_and_matches_torch():
+    """make_optimizer(name='adam') == clip_grad_norm_(5.0) + torch.Adam."""
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.RandomState(7)
+    p0 = rng.randn(6).astype(np.float32)
+    # one huge gradient exercises the clip, small ones leave it inert
+    grads = [rng.randn(6).astype(np.float32) * s for s in (40.0, 0.1, 3.0)]
+    lr = 0.05
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    topt = torch.optim.Adam([tp], lr)
+    for g in grads:
+        tp.grad = torch.tensor(g)
+        torch.nn.utils.clip_grad_norm_([tp], 5.0)
+        topt.step()
+
+    tx = make_optimizer(lr=lr, t_total=100, name="adam")
+    params = {"w": jnp.asarray(p0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]), tp.detach().numpy(),
+                               rtol=3e-5, atol=1e-6)
+
+
+def test_make_optimizer_nonbert_respects_trainable_mask():
+    params = {"backbone": jnp.ones((2,)), "head": jnp.ones((2,))}
+    mask = {"backbone": False, "head": True}
+    tx = make_optimizer(lr=0.5, t_total=4, trainable_mask=mask, name="sgd")
+    state = tx.init(params)
+    g = {"backbone": jnp.ones((2,)), "head": jnp.ones((2,))}
+    updates, state = tx.update(g, state, params)
+    params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["backbone"]), 1.0)
+    np.testing.assert_allclose(np.asarray(params["head"]), 0.5)
+
+
+def test_plain_optimizer_unknown_name_raises():
+    from shgvqa_tpu.train.optimizer import plain_optimizer
+
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        plain_optimizer("adagrad", 0.1)
