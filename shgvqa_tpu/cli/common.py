@@ -37,6 +37,17 @@ def build_tokenizer(cfg: Config, extras: dict, corpus) -> BertTokenizer:
     path = extras.get("vocab_path") or os.path.join(
         cfg.data.data_dir, "vocab.txt")
     if not os.path.isfile(path):
+        # Only synthetic smoke runs (or an explicit opt-in) may substitute a
+        # corpus-built whole-word vocab: on real data it silently destroys
+        # WordPiece tokenization parity with the reference's
+        # bert-base-uncased vocab (tokenization.py:48-388).
+        if not (extras.get("synthetic_data") or extras.get("build_vocab")):
+            raise SystemExit(
+                f"vocab {path} not found. Real-data runs require the "
+                "bert-base-uncased WordPiece vocab (fetch per "
+                "tools/fetch_bert_vocab.py, or point --vocab at it). "
+                "Pass --buildVocab to opt into a corpus-built whole-word "
+                "vocab (non-parity), or --syntheticData N for smoke runs.")
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         print(f"vocab {path} not found; building whole-word vocab from the "
               f"split corpus ({len(corpus)} texts)", flush=True)
@@ -146,7 +157,8 @@ def run_driver(dataset: str, argv=None) -> dict:
         src = build_item_source(cfg, extras, data, tokenizer, test_mode=True)
         batcher = Batcher(src, num_items=len(src),
                           batch_size=cfg.optim.eval_batch_size,
-                          shuffle=False, seed=cfg.seed)
+                          shuffle=False, seed=cfg.seed,
+                          drop_last=cfg.data.parity_eval)
         trainer = Trainer(cfg, steps_per_epoch=max(1, len(batcher)),
                           model=make_model(cfg, has_frames=bool(
                               extras.get("synthetic_data") or
@@ -193,7 +205,7 @@ def run_driver(dataset: str, argv=None) -> dict:
         valid_batcher = Batcher(
             valid_src, num_items=len(valid_src),
             batch_size=cfg.optim.eval_batch_size, shuffle=False,
-            seed=cfg.seed)
+            seed=cfg.seed, drop_last=cfg.data.parity_eval)
 
     trainer = Trainer(
         cfg, steps_per_epoch=max(1, len(train_batcher)),

@@ -168,6 +168,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "(smoke/bench)")
     p.add_argument("--vocab", dest="vocab_path", default=None,
                    help="WordPiece vocab.txt (default: {dataDir}/vocab.txt)")
+    p.add_argument("--buildVocab", dest="build_vocab", action="store_true",
+                   help="opt-in: when vocab.txt is missing, build a "
+                        "whole-word vocab from the split corpus instead of "
+                        "failing (NOT tokenization-parity with the "
+                        "reference's bert-base-uncased vocab)")
+    p.add_argument("--parityEval", dest="parity_eval", action="store_true",
+                   help="reproduce the reference's drop_last=True valid "
+                        "loader (agqaHGQA.py:74-78): the last partial valid "
+                        "batch is dropped instead of padded+kept, so scores "
+                        "are apples-to-apples with reference runs")
     p.add_argument("--bertWeights", dest="bert_weights", default=None,
                    help="bert-base pytorch_model.bin (or .npz) for the "
                         "non---fromScratch pretrained load (default: "
@@ -302,6 +312,7 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         fast=ns.fast,
         train_sub_set=ns.train_sub_set,
         num_workers=ns.num_workers,
+        parity_eval=ns.parity_eval,
     )
     optim = cfg.optim.__class__(
         optim=ns.optim,
@@ -369,6 +380,7 @@ def parse_reference_flags_with_extras(argv: Optional[Sequence[str]] = None,
     extras = {
         "synthetic_data": ns.synthetic_data,
         "vocab_path": ns.vocab_path,
+        "build_vocab": ns.build_vocab,
         "tqdm": ns.tqdm,
         "load_lxmert": ns.load_lxmert,
         "load_lxmert_qa": ns.load_lxmert_qa,

@@ -153,6 +153,13 @@ class DataConfig:
     num_workers: int = 8           # decode worker threads
     prefetch: int = 2
 
+    # --parityEval: drop the last partial valid/test batch like the
+    # reference's drop_last=True loaders (agqaHGQA.py:74-78) so metric
+    # comparisons against a reference run see the same item set.  Default
+    # keeps every item (pad + n_valid) — better behavior, documented
+    # divergence (data/pipeline.py).
+    parity_eval: bool = False
+
     @property
     def hg_tokens_per_situation(self) -> int:
         return self.num_rel + self.num_act
