@@ -106,6 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
                             "video_swin_impl"])
     p.add_argument("--afterCrossAttnFeats", dest="after_cross_attn_feats",
                    action="store_true")
+    p.add_argument("--imageSize", dest="image_size", type=int, default=None,
+                   help="frame resize (one side).  Default is per-backbone: "
+                        "256 for slowfast variants (data_transforms.py:83,"
+                        "119, crop_size=256 at :36), 224 otherwise; the "
+                        "visual token grid follows as imageSize/32 per side")
 
     # task flags
     p.add_argument("--taskQ", dest="task_q", action="store_true")
@@ -257,6 +262,19 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
     cfg = Config()
     ds = dataset or ns.dataset or "agqa"
 
+    # Per-backbone input geometry: the reference's slowfast transforms
+    # resize to 256 (data_transforms.py:83,119) -> 8x8 feature grids; every
+    # other pipeline uses 224 -> 7x7.  --imageSize overrides; the visual
+    # token grid is always imageSize/32 (all trunks downsample 32x).
+    image_size = ns.image_size or (
+        256 if ns.backbone.startswith("slowfast") else 224)
+    visual_hw = image_size // 32
+    # slowfast features are the [slow, fast] channel concat at fast temporal
+    # resolution: 2048 + 256 (models/backbones_extra.py SlowFastR50)
+    visual_feat_dim = (3072 if ns.patches
+                       else 2304 if ns.backbone.startswith("slowfast")
+                       else cfg.encoder.visual_feat_dim)
+
     enc = cfg.encoder.__class__(
         no_caps=ns.no_caps,
         num_prim_caps=ns.NUM_PRIM_CAPS,
@@ -268,9 +286,10 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         patches=ns.patches,
         vit_init=ns.vit_init,
         # --patches flips the visual feature dim to the 32x32 RGB patch
-        # flatten_dim (modeling_capsbert.py:173-174, 981-986)
-        visual_feat_dim=(3072 if ns.patches
-                         else cfg.encoder.visual_feat_dim),
+        # flatten_dim (modeling_capsbert.py:173-174, 981-986); slowfast
+        # trunks emit 2304 channels (see above)
+        visual_feat_dim=visual_feat_dim,
+        visual_hw=visual_hw,
         l_layers=ns.llayers,
         x_layers=ns.xlayers,
         r_layers=ns.rlayers,
@@ -313,6 +332,7 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         train_sub_set=ns.train_sub_set,
         num_workers=ns.num_workers,
         parity_eval=ns.parity_eval,
+        image_size=image_size,
     )
     optim = cfg.optim.__class__(
         optim=ns.optim,
