@@ -84,8 +84,8 @@ class HGQCrossEncoder(nn.Module):
         output_attentions: bool = False,
     ):
         c = self.cfg
-        dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
-            self.compute_dtype]
+        dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+              "float64": jnp.float64}[self.compute_dtype]
         b, total, d = hg_feats.shape
         slots = self.num_max_act + self.num_max_rel
         s = total // slots

@@ -108,12 +108,15 @@ def _key_str(k) -> str:
     return str(k)
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """device_put every array batch-sharded along 'data'."""
-    bs = batch_sharding(mesh)
+def shard_batch(batch: Dict[str, Any], mesh: Mesh,
+                axis: int = 0) -> Dict[str, Any]:
+    """device_put every array batch-sharded along 'data'.  ``axis`` is the
+    batch dimension (1 for stacked multi-step chunks whose leading axis is
+    the step index)."""
+    bs = NamedSharding(mesh, P(*([None] * axis + [mesh.axis_names[0]])))
     out = {}
     for k, v in batch.items():
-        if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1:
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) >= axis + 1:
             out[k] = jax.device_put(v, bs)
         else:
             out[k] = v

@@ -114,6 +114,21 @@ def build_flat_state(variables: Dict[str, Any],
                            masked=trainable_mask is not None, layout=layout)
 
 
+def shard_flat_state(state: FlatTrainState, mesh) -> FlatTrainState:
+    """Place the flat state REPLICATED over a data-parallel mesh.
+
+    Under SPMD data parallelism the state is identical on every chip (the
+    reference's DataParallel replicate, ``agqaHGQA.py:124-129``); feeding the
+    jitted step replicated state + a batch sharded over the ``data`` axis
+    makes XLA emit the per-step gradient all-reduce over ICI automatically —
+    the flat-major optimizer path (one fused update over 3 big arrays) is
+    unchanged, so dp scale-out keeps the single-chip optimizer wins."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    return FlatTrainState(*(jax.device_put(x, rep) for x in state))
+
+
 def repack_like(arr: jnp.ndarray, spec: FlatSpec) -> jnp.ndarray:
     """Repack a stored flat-state array (either layout) into spec.layout —
     lets a checkpoint written under one layout resume under the other."""

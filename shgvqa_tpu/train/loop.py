@@ -43,10 +43,16 @@ class Trainer:
         # Flat-major state (train/flat_state.py): the train state is ONE
         # lane-aligned vector — the whole optimizer+apply is ~12 fused ops
         # instead of ~500 per-leaf thunks (377 -> 295 ms/step at b32 on the
-        # per-thunk-dispatch relay).  Tree mode remains for sharded params
-        # (a TP mesh needs per-leaf PartitionSpecs) and as a kill switch.
+        # per-thunk-dispatch relay).  A data-parallel mesh keeps the flat
+        # path: the state is replicated, batches shard over 'data', and XLA
+        # emits the gradient all-reduce (flat_state.shard_flat_state).  Tree
+        # mode remains for TENSOR-parallel shardings (per-leaf
+        # PartitionSpecs) and as a kill switch.
+        dp_only_mesh = (
+            mesh is not None
+            and mesh.shape.get(cfg.mesh.model_axis, 1) <= 1)
         self.flat_mode = (
-            mesh is None and shardings is None
+            (mesh is None or dp_only_mesh) and shardings is None
             and cfg.mesh.model_parallel <= 1
             # the flat step body hardcodes BertAdam math; --optim
             # rms/adam/adamax/sgd (param.py:11-30) runs in tree mode
@@ -120,11 +126,18 @@ class Trainer:
         called after init and after every weight-surgery load (the reference
         never checkpoints moments either)."""
         if self.flat_mode:
-            from shgvqa_tpu.train.flat_state import build_flat_state
+            from shgvqa_tpu.train.flat_state import (
+                build_flat_state,
+                shard_flat_state,
+            )
 
             self._flat_state, self._flat_spec = build_flat_state(
                 self.params, self._trainable_mask,
                 layout=os.environ.get("SHGVQA_FLAT_LAYOUT", "1d"))
+            if self.mesh is not None:
+                # dp mesh: replicated state; batches shard in the loop
+                self._flat_state = shard_flat_state(self._flat_state,
+                                                    self.mesh)
             self.opt_state = None
         else:
             self.opt_state = self.tx.init(self.params["params"])
@@ -240,6 +253,10 @@ class Trainer:
                     nonlocal n_steps
                     stacked = jax.tree_util.tree_map(
                         lambda *xs: jnp.stack(xs), *chunk)
+                    if self.mesh is not None:
+                        from shgvqa_tpu.parallel.mesh import shard_batch
+
+                        stacked = shard_batch(stacked, self.mesh, axis=1)
                     rngs = jnp.stack(chunk_rngs)
                     self._flat_state, metrics = self._flat_multi_step(
                         self._flat_state, stacked, rngs)
@@ -252,6 +269,10 @@ class Trainer:
                 for batch in train_batches(epoch):
                     batch = dict(batch)
                     batch.pop("ques_id", None)
+                    if self.mesh is not None and self.flat_mode:
+                        from shgvqa_tpu.parallel.mesh import shard_batch
+
+                        batch = shard_batch(batch, self.mesh)
                     rng, step_rng = jax.random.split(rng)
                     if k_loop > 1:
                         chunk.append(batch)
@@ -273,6 +294,10 @@ class Trainer:
                     n_steps += 1
                 # trailing partial chunk: single-step fallback
                 for batch, step_rng in zip(chunk, chunk_rngs):
+                    if self.mesh is not None:
+                        from shgvqa_tpu.parallel.mesh import shard_batch
+
+                        batch = shard_batch(batch, self.mesh)
                     self._flat_state, metrics = self._flat_train_step(
                         self._flat_state, batch, step_rng)
                     log_step(self.step, metrics)
@@ -590,7 +615,36 @@ class Trainer:
             f"from {path} into '{key}/encoder/r_*'")
         self._reset_opt()
 
+    def load_reference(self, path: str) -> None:
+        """--load on a reference ``.pth``: transplant a trained AGQAModel/
+        STARModel state_dict (torch) into the current params — the TPU
+        product path for the reference's eval-from-checkpoint contract
+        (``agqaHGQA.py:859-874``).  Optimizer state restarts fresh (the
+        reference never checkpointed it, SURVEY.md §5)."""
+        from shgvqa_tpu.utils.ref_import import (
+            load_reference_checkpoint,
+            reference_to_variables,
+        )
+
+        sd = load_reference_checkpoint(path)
+        variables, report = reference_to_variables(
+            sd, jax.device_get(self.params), self.cfg)
+        self.params = jax.tree_util.tree_map(jnp.asarray, variables)
+        self.metrics.log(
+            f"Imported reference checkpoint {path}: "
+            f"{len(report['mapped'])} tensors"
+            + (f"; skipped {report['skipped']}" if report["skipped"] else ""))
+        self._reset_opt()
+
     def load(self, name_or_path: str) -> None:
+        import os as _os
+
+        if name_or_path.endswith(".pth") or (
+                not _os.path.isdir(name_or_path)
+                and _os.path.isfile(name_or_path + ".pth")):
+            # a reference torch snapshot, not one of our orbax checkpoints
+            self.load_reference(name_or_path)
+            return
         try:
             state = self.ckpt.restore(name_or_path,
                                       template=self.state_dict())

@@ -84,6 +84,10 @@ def ref_setup(tmp_path_factory):
     args.task_q = args.task_vqa = args.task_vhga = False
     args.task_hgqa = True
     args.gt_hg = False
+    # our cfg sets use_hg_mask=True; mirror it (agqa_model.py:261 otherwise
+    # silently drops the mask, which slips under tiny-dims tolerance but
+    # diverges at flagship dims)
+    args.use_hg_mask = True
     args.cross_attn_type = "cross"
     args.no_caps = True
     args.from_scratch = False

@@ -95,8 +95,31 @@ def test_dryrun_multichip_mesh_layouts(mp):
         "print('PARENT_OK')\n"
     )
     env = _hostile_env(SHGVQA_MESH_MP=str(mp))
+    # the dryrun compiles a single-device reference step, the mesh step and
+    # (mp=1) the flat-dp step on the 1-core host: ~12 min worst case
     proc = subprocess.run(
         [sys.executable, "-c", code], env=env, cwd=REPO,
-        capture_output=True, text=True, timeout=540)
+        capture_output=True, text=True, timeout=1200)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip OK" in proc.stdout
+    if mp == 1:
+        # pure-DP also proves the flat-major fast path under the mesh
+        assert "flat-dp OK" in proc.stdout, proc.stdout
+
+
+@pytest.mark.slow
+def test_dryrun_flagship_dp_compile():
+    """SHGVQA_DRYRUN_FLAGSHIP=1: one flagship-dims (bert-base 5/2/5/5)
+    dp8 flat train step must lower + compile through the SPMD partitioner
+    on the virtual mesh."""
+    code = (
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "print('PARENT_OK')\n"
+    )
+    env = _hostile_env(SHGVQA_MESH_MP="1", SHGVQA_DRYRUN_FLAGSHIP="1")
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=2400)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "flagship dp8 step compiled" in proc.stdout, proc.stdout
