@@ -80,6 +80,119 @@ def plot_situation_hypergraph(
     plt.close(fig)
 
 
+# OpenPose BODY_25-style limb list used by the reference's pose overlay
+# (visualization_tools/vis_utils.py:63-65); links drawn only when both
+# endpoints have confidence > 0, keypoints as dots (:86-95).
+POSE_LINKS = ((4, 3), (3, 2), (7, 6), (6, 5), (13, 12), (12, 11),
+              (10, 9), (9, 8), (11, 5), (8, 2), (5, 1), (2, 1), (0, 1))
+
+
+def plot_boxes(frames: np.ndarray, boxes: Sequence[Sequence],
+               labels: Sequence[Sequence[str]], path: str,
+               title: str = "", max_cols: int = 8) -> None:
+    """Frame grid with per-frame bounding boxes + labels.
+
+    Rebuild of ``Vis_Box`` (``qa_visualization.py:55-79``): rainbow colormap
+    over a frame's boxes, label text at the box corner — matplotlib patches
+    instead of cv2 rectangles (cv2/ipyplot are notebook-only upstream deps).
+
+    frames: (T, H, W, 3); boxes[t]: iterable of (x1, y1, x2, y2) or None;
+    labels[t]: same length as boxes[t].
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Rectangle
+
+    t = frames.shape[0]
+    cols = min(t, max_cols)
+    rows = -(-t // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(2.4 * cols, 2.4 * rows))
+    axes = np.atleast_2d(axes)
+    cmap = plt.get_cmap("rainbow")
+    for i in range(rows * cols):
+        ax = axes[i // cols, i % cols]
+        ax.axis("off")
+        if i >= t:
+            continue
+        img = frames[i]
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 1)
+        ax.imshow(img)
+        frame_boxes = boxes[i] if i < len(boxes) else []
+        frame_labels = labels[i] if i < len(labels) else []
+        n = max(len(frame_boxes), 1)
+        colors = [cmap(v) for v in np.linspace(0, 1, n + 2)]
+        ci = 0
+        for j, bb in enumerate(frame_boxes):
+            if bb is None:
+                continue
+            x1, y1, x2, y2 = (float(v) for v in bb)
+            ax.add_patch(Rectangle((x1, y1), x2 - x1, y2 - y1,
+                                   fill=False, edgecolor=colors[ci],
+                                   linewidth=1.5))
+            if j < len(frame_labels) and frame_labels[j]:
+                ax.text(x1, y1, str(frame_labels[j]), fontsize=6,
+                        color="white",
+                        bbox=dict(facecolor=colors[ci], alpha=0.7, pad=1))
+            ci += 1
+        ax.set_title(f"t={i}", fontsize=8)
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
+def plot_pose(frames: np.ndarray, keypoints: Sequence[Optional[Sequence]],
+              path: str, title: str = "", max_cols: int = 8) -> None:
+    """Frame grid with OpenPose skeleton overlays.
+
+    Rebuild of ``Vis_Pose`` + ``vis_utils.vis_keypoints``
+    (``qa_visualization.py:82-101``, ``vis_utils.py:63-97``): keypoints[t]
+    is the flat [x0, y0, c0, x1, y1, c1, ...] ``pose_keypoints_2d`` list (or
+    None for frames without a detection, drawn plain like the reference's
+    except-branch); limbs drawn rainbow-colored when both endpoint
+    confidences are > 0, visible joints as red dots.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    t = frames.shape[0]
+    cols = min(t, max_cols)
+    rows = -(-t // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(2.4 * cols, 2.4 * rows))
+    axes = np.atleast_2d(axes)
+    cmap = plt.get_cmap("rainbow")
+    colors = [cmap(v) for v in np.linspace(0, 1, len(POSE_LINKS) + 2)]
+    for i in range(rows * cols):
+        ax = axes[i // cols, i % cols]
+        ax.axis("off")
+        if i >= t:
+            continue
+        img = frames[i]
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 1)
+        ax.imshow(img)
+        kp = keypoints[i] if i < len(keypoints) else None
+        if kp is not None and len(kp) >= 3:
+            xs, ys, vs = kp[0::3], kp[1::3], kp[2::3]
+            for li, (a, b) in enumerate(POSE_LINKS):
+                if a < len(vs) and b < len(vs) and vs[a] > 0 and vs[b] > 0:
+                    ax.plot([xs[a], xs[b]], [ys[a], ys[b]],
+                            color=colors[li], linewidth=2)
+            vis_x = [x for x, v in zip(xs, vs) if v > 0]
+            vis_y = [y for y, v in zip(ys, vs) if v > 0]
+            ax.scatter(vis_x, vis_y, s=6, c="red", zorder=3)
+        ax.set_title(f"t={i}", fontsize=8)
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
 def plot_attention(attn: np.ndarray, path: str,
                    query_labels: Optional[Sequence[str]] = None,
                    key_labels: Optional[Sequence[str]] = None,
