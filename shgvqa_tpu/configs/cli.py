@@ -151,6 +151,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallasFFNTrain", dest="use_pallas_ffn_train",
                    action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--rematPolicy", dest="remat_policy", default="",
+                   choices=["", "dots", "dots_batch", "dots_attn"],
+                   help="remat save policy: '' recomputes everything; "
+                        "'dots' keeps matmul outputs and recomputes the "
+                        "elementwise tail in backward")
     p.add_argument("--backboneChunks", dest="backbone_chunks", type=int,
                    default=1,
                    help="run the frozen backbone (and its frame "
@@ -378,6 +383,7 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         output_attention=ns.output_attention,
         compute_dtype=ns.compute_dtype,
         remat=ns.remat,
+        remat_policy=ns.remat_policy,
         profile=ns.profile,
         use_pallas_attention=ns.use_pallas_attention,
         use_pallas_attention_train=ns.use_pallas_attention_train,

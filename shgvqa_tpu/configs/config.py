@@ -136,6 +136,13 @@ class DataConfig:
     image_size: int = 224
 
     augment_type: str = "no_aug"   # --augmentType
+    # dtype for the on-device frames pipeline (convert/augment/normalize).
+    # "" = follow compute_dtype: bf16 halves every full-frames HBM pass
+    # (the b64 tensor is 616 MB f32, and rand_aug is ~60 passes over it);
+    # uint8 pixels are exact in bf16 (integers <= 256) and the backbone
+    # casts to bf16 immediately after anyway.  Parity tests run under
+    # compute_dtype=float32 and are unaffected.
+    aug_dtype: str = ""
     qa_arrange_type: str = "add_sep_all"  # --qaArrangeType (STAR)
     qtype: str = "Feasibility"     # --qType (STAR filter)
     merge_data: bool = False       # --mergeData
@@ -254,6 +261,12 @@ class Config:
     compute_dtype: str = "bfloat16"   # matmul/activation dtype under jit
     param_dtype: str = "float32"
     remat: bool = False               # jax.checkpoint the encoder blocks
+    # remat save policy: "" = save nothing (full recompute); "dots" =
+    # jax.checkpoint_policies.dots_with_no_batch_dims_saveable (keep matmul
+    # outputs, recompute the elementwise tail — LN f32 intermediates, GeLU,
+    # dropout products — targeting the backward activation-streaming HBM
+    # traffic, PERF.md §2); "dots_batch" = dots_saveable
+    remat_policy: str = ""
     profile: bool = False             # capture a jax.profiler trace
     use_pallas_attention: bool = False  # fused attention EVERYWHERE (A/B knob)
     # fused attention at TRAINING sites only (in-kernel probs dropout skips

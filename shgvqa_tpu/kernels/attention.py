@@ -300,6 +300,13 @@ def _make_core(h: int, dropout_rate: float, interpret: bool):
 
     def core_fwd(q3, k3, v3, km, pm, seed):
         out, lse = _fwd_call(q3, k3, v3, km, pm, seed)
+        # named for remat policies (models/layers.py REMAT_POLICIES
+        # "dots_attn"): saving out+lse lets policy-remat avoid replaying
+        # the forward kernel just to rebuild the bwd residuals
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(out, "attn_out")
+        lse = checkpoint_name(lse, "attn_lse")
         return out, (q3, k3, v3, km, pm, seed, lse)
 
     def core_bwd(res, do3):

@@ -170,6 +170,7 @@ class HGDecoder(nn.Module):
     dtype: Dtype = jnp.float32
     scan: bool = False
     remat: bool = False
+    remat_policy: str = ""
 
     @nn.compact
     def __call__(self, query_pos, memory, tgt_mask=None, memory_mask=None,
@@ -190,8 +191,9 @@ class HGDecoder(nn.Module):
                     )(carry, memory, query_pos, tgt_mask, memory_mask, det)
                     return out, None
 
-            body_cls = nn.remat(Body, static_argnums=(6,)) if self.remat \
-                else Body
+            from shgvqa_tpu.models.layers import remat_class
+
+            body_cls = remat_class(Body, (6,), self.remat, self.remat_policy)
             scanned = nn.scan(
                 body_cls,
                 variable_axes={"params": 0},
@@ -202,8 +204,12 @@ class HGDecoder(nn.Module):
             out, _ = scanned(name="layers")(
                 tgt, memory, query_pos, tgt_mask, memory_mask, deterministic)
             return out
+        from shgvqa_tpu.models.layers import remat_class
+
+        layer_cls = remat_class(DecoderLayer, (6,), self.remat,
+                                self.remat_policy)
         for i in range(self.num_layers):
-            tgt = DecoderLayer(
+            tgt = layer_cls(
                 self.num_heads, self.ffn_dim, self.dropout, dtype=self.dtype,
                 name=f"layer_{i}",
             )(tgt, memory, query_pos, tgt_mask, memory_mask, deterministic)

@@ -41,7 +41,8 @@ Dtype = Any
 
 
 def _dtype(name: str):
-    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float64": jnp.float64}[name]
 
 
 class TriStreamEncoder(nn.Module):
@@ -50,6 +51,7 @@ class TriStreamEncoder(nn.Module):
     cfg: EncoderConfig
     compute_dtype: str = "float32"
     remat: bool = False
+    remat_policy: str = ""
 
     def setup(self):
         c = self.cfg
@@ -63,11 +65,12 @@ class TriStreamEncoder(nn.Module):
             dtype=dt,
         )
         # rematerialize encoder blocks under grad to trade FLOPs for HBM
-        # (jax.checkpoint; useful at batch 32 with 393-token streams)
-        layer_cls = (
-            nn.remat(BertLayer, static_argnums=(3, 4)) if self.remat
-            else BertLayer
-        )
+        # (jax.checkpoint; remat_policy="dots" keeps matmul outputs and
+        # recomputes only the elementwise tail — see layers.remat_class)
+        from shgvqa_tpu.models.layers import remat_class
+
+        layer_cls = remat_class(BertLayer, (3, 4), self.remat,
+                                self.remat_policy)
         if c.scan_layers:
             if c.vit_init or c.shared_weights:
                 raise ValueError(
@@ -85,18 +88,18 @@ class TriStreamEncoder(nn.Module):
                 hidden_dropout=c.hidden_dropout, dtype=dt,
             )
             self.l_stack = ScannedBertStack(
-                num_layers=c.l_layers, remat=self.remat, **stack_kw,
-                name="l_stack")
+                num_layers=c.l_layers, remat=self.remat,
+                remat_policy=self.remat_policy, **stack_kw, name="l_stack")
             self.r_stack = ScannedBertStack(
-                num_layers=c.r_layers, remat=self.remat, **stack_kw,
-                name="r_stack")
+                num_layers=c.r_layers, remat=self.remat,
+                remat_policy=self.remat_policy, **stack_kw, name="r_stack")
             if (c.cross_attn_type in ("cross", "old")
                     and (c.no_caps or c.caps_cross_attn)):
                 self.x_stack = ScannedCrossStack(
                     layer_cls=CROSS_LAYER_TYPES[c.cross_attn_type],
                     num_layers=c.x_layers, tie=c.tie_x_layers,
-                    remat=self.remat, **stack_kw,
-                    name="x_stack")
+                    remat=self.remat, remat_policy=self.remat_policy,
+                    **stack_kw, name="x_stack")
             else:
                 self.x_stack = None
         if c.no_caps:
@@ -147,8 +150,8 @@ class TriStreamEncoder(nn.Module):
             # (modeling_capsbert.py:1401-1403)
             from shgvqa_tpu.models.vit import ViTBlock
 
-            r_cls = (nn.remat(ViTBlock, static_argnums=(3, 4))
-                     if self.remat else ViTBlock)
+            r_cls = remat_class(ViTBlock, (3, 4), self.remat,
+                                self.remat_policy)
             self.r_layers = [
                 r_cls(num_heads=c.num_heads, head_dim=c.head_dim,
                       mlp_ratio=c.intermediate_size // c.hidden_size,
@@ -311,6 +314,7 @@ class LXRTModel(nn.Module):
     compute_dtype: str = "float32"
     deaf: bool = False
     remat: bool = False
+    remat_policy: str = ""
 
     def setup(self):
         c = self.cfg
@@ -323,7 +327,8 @@ class LXRTModel(nn.Module):
             dropout=c.hidden_dropout,
             dtype=dt,
         )
-        self.encoder = TriStreamEncoder(c, self.compute_dtype, self.remat)
+        self.encoder = TriStreamEncoder(c, self.compute_dtype, self.remat,
+                                        self.remat_policy)
         if c.cross_attn_type in ("cross",):
             self.pooler = Pooler2(c.hidden_size, dtype=dt)
         else:

@@ -48,6 +48,40 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
+REMAT_POLICIES = {
+    # keep matmul outputs resident, recompute elementwise in backward —
+    # trades cheap VPU recompute for the backward activation-streaming HBM
+    # traffic (the b64 train profile's ~175 ms elementwise tail, PERF.md §2)
+    "dots": "dots_with_no_batch_dims_saveable",
+    "dots_batch": "dots_saveable",
+}
+
+
+def _resolve_policy(policy: str):
+    if policy == "dots_attn":
+        # dots + the fused-attention kernel's named outputs (out, lse) —
+        # without the names, policy remat replays the pallas forward kernel
+        # to rebuild the custom-VJP residuals (measured -7% at b64)
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_saveable,
+            jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "attn_lse"))
+    return getattr(jax.checkpoint_policies, REMAT_POLICIES[policy])
+
+
+def remat_class(cls, static_argnums, enabled: bool, policy: str = ""):
+    """nn.remat wrapper with an optional jax.checkpoint save policy.
+
+    ``policy=''`` is classic full-recompute remat; named policies save the
+    listed intermediates and recompute only the rest (see REMAT_POLICIES)."""
+    if not enabled:
+        return cls
+    kw = {}
+    if policy:
+        kw["policy"] = _resolve_policy(policy)
+    return nn.remat(cls, static_argnums=static_argnums, **kw)
+
+
 def extend_mask(mask: jnp.ndarray, dtype: Dtype) -> jnp.ndarray:
     """{0,1} (B, L) -> additive (B, 1, 1, L) with -10000 on masked slots."""
     m = mask.astype(dtype)

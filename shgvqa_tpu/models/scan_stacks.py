@@ -37,6 +37,7 @@ class ScannedBertStack(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False   # recompute the body in backward (saves the
                           # (L, B, T, D) stacked activations in HBM)
+    remat_policy: str = ""
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic=True):
@@ -56,8 +57,9 @@ class ScannedBertStack(nn.Module):
                 )(carry, mask, det, False)
                 return out, None
 
-        body_cls = nn.remat(Body, static_argnums=(3,)) if self.remat \
-            else Body
+        from shgvqa_tpu.models.layers import remat_class
+
+        body_cls = remat_class(Body, (3,), self.remat, self.remat_policy)
         scanned = nn.scan(
             body_cls,
             variable_axes={"params": 0},
@@ -92,6 +94,7 @@ class ScannedCrossStack(nn.Module):
     hidden_dropout: float = 0.1
     dtype: Dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = ""
 
     @nn.compact
     def __call__(self, lang, lang_mask, visn, visn_mask, deterministic=True):
@@ -119,8 +122,9 @@ class ScannedCrossStack(nn.Module):
                   deterministic=det, return_probs=False)
                 return (lang, visn), None
 
-        body_cls = nn.remat(Body, static_argnums=(4,)) if self.remat \
-            else Body
+        from shgvqa_tpu.models.layers import remat_class
+
+        body_cls = remat_class(Body, (4,), self.remat, self.remat_policy)
         if self.tie:
             # weight-tied stack: ONE param set broadcast across iterations
             scanned = nn.scan(

@@ -63,7 +63,8 @@ class ShgVqaModel(nn.Module):
             self.bert_encoder = LanguageEncoder(enc, dt)
         else:
             self.lxrt = LXRTModel(enc, dt, deaf=(task == "vhga"),
-                                  remat=cfg.remat)
+                                  remat=cfg.remat,
+                                  remat_policy=cfg.remat_policy)
 
         if task in ("hgqa", "vhga", "hgvqa"):
             s = cfg.data.num_situations
@@ -95,6 +96,7 @@ class ShgVqaModel(nn.Module):
                 dtype=_dt(dt),
                 scan=enc.scan_layers,
                 remat=cfg.remat,
+                remat_policy=cfg.remat_policy,
             )
             self.rel_decoder = HGDecoder(**dec_kw)
             self.action_decoder = HGDecoder(**dec_kw)
@@ -299,9 +301,16 @@ class VideoShgVqaModel(nn.Module):
                                        NORM_STATS["slow_r50"])
             aug_fn = aug_mix_batch if aug == "aug_mix" else rand_augment_batch
 
+            # frames pipeline dtype: bf16 halves the HBM traffic of every
+            # full-frames pass (convert/augment/normalize) — see
+            # DataConfig.aug_dtype
+            pix_dt = _dt(self.cfg.data.aug_dtype or self.cfg.compute_dtype)
+
             def preprocess(x, keys=None):
                 if jnp.issubdtype(x.dtype, jnp.integer):
-                    x = x.astype(jnp.float32) / 255.0
+                    x = x.astype(pix_dt) / jnp.asarray(255.0, pix_dt)
+                else:
+                    x = x.astype(pix_dt)
                 if aug_on:
                     # batched formulation: vmap(rand_augment)'s switch
                     # lowering runs all 14 ops per layer (6.6s/batch
@@ -358,7 +367,8 @@ class VideoShgVqaModel(nn.Module):
 
 
 def _dt(name: str):
-    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float64": jnp.float64}[name]
 
 
 def _np_causal(s: int, slots: int) -> np.ndarray:

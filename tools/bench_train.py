@@ -51,8 +51,11 @@ def main() -> None:
     # graph compiles and runs on local XLA backends).  A/B via env:
     scan = os.environ.get("SHGVQA_BENCH_SCAN", "0") == "1"
     remat_on = os.environ.get("SHGVQA_BENCH_REMAT", "0") == "1"
+    # "" = classic full-recompute remat; "dots" saves matmul outputs and
+    # recomputes only the elementwise tail (models/layers.py remat_class)
+    remat_policy = os.environ.get("SHGVQA_BENCH_REMAT_POLICY", "")
     cfg = _flagship_cfg(scan_layers=scan).replace(
-        freeze_backbone=freeze, remat=remat_on,
+        freeze_backbone=freeze, remat=remat_on, remat_policy=remat_policy,
         # frozen-trunk micro-chunking (peak-memory lever for b>=128; see
         # configs/config.py backbone_chunks)
         backbone_chunks=int(os.environ.get("SHGVQA_BENCH_BB_CHUNKS", "1")))
