@@ -143,6 +143,12 @@ class DataConfig:
     # casts to bf16 immediately after anyway.  Parity tests run under
     # compute_dtype=float32 and are unaffected.
     aug_dtype: str = ""
+    # gather heavy augmentation op classes (geometry/equalize/sharpness)
+    # into fixed-capacity sub-batches instead of running them on the full
+    # batch (data/transforms._apply_layer_batch).  Bit-exact (lax.cond
+    # falls back to the full-batch path on capacity overflow); False = the
+    # round-2 full-batch formulation (A/B lever).
+    aug_subbatch: bool = True
     qa_arrange_type: str = "add_sep_all"  # --qaArrangeType (STAR)
     qtype: str = "Feasibility"     # --qType (STAR filter)
     merge_data: bool = False       # --mergeData

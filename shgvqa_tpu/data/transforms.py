@@ -367,6 +367,7 @@ def rand_augment(frames01: jnp.ndarray, rng: jax.Array,
 # ---------------------------------------------------------------------------
 
 _GEO_ROT, _GEO_SHX, _GEO_SHY, _GEO_TRX, _GEO_TRY = 3, 10, 11, 12, 13
+_OP_EQUALIZE, _OP_SHARPNESS = 2, 9
 
 
 def _sample_rand_augment(key: jax.Array, num_layers: int, prob: float):
@@ -430,10 +431,36 @@ def op_equalize_batch(x: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
     return out.astype(x.dtype) / 255.0
 
 
+def _class_cap(b: int, p_class: float) -> int:
+    """Static sub-batch capacity for one augmentation op class: the mean +
+    4 sigma tail of the Binomial(b, p_class) per-layer count (overflow
+    probability ~3e-5; the caller's lax.cond falls back to the full-batch
+    path on overflow, so results stay EXACT on every step)."""
+    mean = b * p_class
+    sd = (b * p_class * (1.0 - p_class)) ** 0.5
+    return min(b, int(np.ceil(mean + 4.0 * sd)) + 1)
+
+
 def _apply_layer_batch(x: jnp.ndarray, op: jnp.ndarray, apply: jnp.ndarray,
                        sign: jnp.ndarray, magnitude: int,
-                       eq_stride: int) -> jnp.ndarray:
-    """One RandAugment layer over the batch: every op class executes once."""
+                       eq_stride: int, apply_prob: float = 1.0,
+                       subbatch: bool = True) -> jnp.ndarray:
+    """One RandAugment layer over the batch.
+
+    Full-batch path: every op class executes once on the WHOLE batch and a
+    select tree picks each clip's result — trace-static but wasteful: only
+    ~B*prob/14 clips need each op, yet the expensive classes (the 5
+    geometric ops' shear pipeline ~90 ms, equalize ~50 ms, sharpness ~8 ms
+    per b64 step, round-3 profile) stream all B clips.
+
+    Sub-batch path (``subbatch=True``, the default): clips assigned to each
+    heavy class are gathered into a fixed-capacity sub-batch
+    (:func:`_class_cap`), the op runs there, and the results scatter back.
+    A ``lax.cond`` routes the (astronomically rare) capacity overflow to the
+    full-batch path, so the output is bit-identical to the full path —
+    and therefore to ``vmap(rand_augment)`` — on every step.  Cheap
+    photometric ops stay full-batch: XLA fuses them into ~2 passes, and a
+    gather/scatter per class would cost more than it saves."""
     b, t, h, w, c = x.shape
     op = jnp.where(apply, op, 0)                  # identity when not applied
 
@@ -448,17 +475,19 @@ def _apply_layer_batch(x: jnp.ndarray, op: jnp.ndarray, apply: jnp.ndarray,
 
     vx = lambda f, i: jax.vmap(f)(x, lvl(i))      # noqa: E731
 
-    out = x                                        # 0: identity
-    out = sel(1, jax.vmap(op_autocontrast)(x, lvl(1)), out)
-    out = sel(2, op_equalize_batch(x, stride=eq_stride), out)
-    out = sel(4, vx(op_solarize, 4), out)
-    out = sel(5, vx(op_color, 5), out)
-    out = sel(6, vx(op_posterize, 6), out)
-    out = sel(7, vx(op_contrast, 7), out)
-    out = sel(8, vx(op_brightness, 8), out)
-    out = sel(9, vx(op_sharpness, 9), out)
+    def photometric(x):
+        out = x                                    # 0: identity
+        out = sel(1, jax.vmap(op_autocontrast)(x, lvl(1)), out)
+        out = sel(4, vx(op_solarize, 4), out)
+        out = sel(5, vx(op_color, 5), out)
+        out = sel(6, vx(op_posterize, 6), out)
+        out = sel(7, vx(op_contrast, 7), out)
+        out = sel(8, vx(op_brightness, 8), out)
+        return out
 
     is_geo = ((op == _GEO_ROT) | (op >= _GEO_SHX))
+    is_eq = op == _OP_EQUALIZE
+    is_sharp = op == _OP_SHARPNESS
     zero = jnp.zeros_like(sign)
     rad = lvl(_GEO_ROT).astype(jnp.float32) * jnp.pi / 180.0
     a = jnp.tan(rad / 2.0)
@@ -470,30 +499,73 @@ def _apply_layer_batch(x: jnp.ndarray, op: jnp.ndarray, apply: jnp.ndarray,
     t1 = jnp.where(op == _GEO_TRX, lvl(_GEO_TRX) * w, zero)
     t2 = jnp.where(op == _GEO_TRY, lvl(_GEO_TRY) * h, zero)
     pad = _geo_pad_bound(magnitude, h, w)
-    warped = jax.vmap(partial(_geo_passes, pad=pad))(
-        x, lam1, beta, lam3, t1, t2)
-    return jnp.where(is_geo[:, None, None, None, None], warped, out)
+    geo_fn = jax.vmap(partial(_geo_passes, pad=pad))
+
+    def full_path(x):
+        out = photometric(x)
+        out = sel(_OP_EQUALIZE, op_equalize_batch(x, stride=eq_stride), out)
+        out = sel(_OP_SHARPNESS, vx(op_sharpness, _OP_SHARPNESS), out)
+        warped = geo_fn(x, lam1, beta, lam3, t1, t2)
+        return jnp.where(is_geo[:, None, None, None, None], warped, out)
+
+    cap_geo = _class_cap(b, apply_prob * 5.0 / 14.0)
+    cap_one = _class_cap(b, apply_prob / 14.0)
+    if not subbatch or (cap_geo >= b and cap_one >= b):
+        return full_path(x)                        # tiny batches: no win
+
+    def gathered_path(x):
+        out = photometric(x)
+
+        def run_sub(mask, cap, fn, out):
+            # real rows first (argsort of the negated mask), padded with
+            # whatever clips follow; padding rows scatter back out[idx]
+            # unchanged (NOT x[idx] — the select tree may have touched them)
+            idx = jnp.argsort(jnp.logical_not(mask))[:cap]
+            keep = mask[idx][:, None, None, None, None]
+            y = fn(x[idx], idx)
+            return out.at[idx].set(jnp.where(keep, y, out[idx]))
+
+        out = run_sub(
+            is_eq, cap_one,
+            lambda s, i: op_equalize_batch(s, stride=eq_stride), out)
+        out = run_sub(
+            is_sharp, cap_one,
+            lambda s, i: jax.vmap(op_sharpness)(
+                s, lvl(_OP_SHARPNESS)[i]), out)
+        out = run_sub(
+            is_geo, cap_geo,
+            lambda s, i: geo_fn(s, lam1[i], beta[i], lam3[i], t1[i], t2[i]),
+            out)
+        return out
+
+    overflow = ((jnp.sum(is_geo) > cap_geo) | (jnp.sum(is_eq) > cap_one)
+                | (jnp.sum(is_sharp) > cap_one))
+    return jax.lax.cond(overflow, full_path, gathered_path, x)
 
 
 def rand_augment_batch(frames01: jnp.ndarray, keys: jax.Array,
                        num_layers: int = 2, magnitude: int = 9,
-                       prob: float = 0.5, eq_stride: int = 8) -> jnp.ndarray:
+                       prob: float = 0.5, eq_stride: int = 8,
+                       subbatch: bool = True) -> jnp.ndarray:
     """Batched video-consistent RandAugment: (B, T, H, W, C) in [0, 1] with
     per-clip keys (B, ...).  Samples identically to
     ``vmap(rand_augment)(frames, keys)``; with eq_stride=1 the output is
-    bit-equal (tests/test_transforms.py)."""
+    bit-equal (tests/test_transforms.py).  ``subbatch`` gathers the heavy
+    op classes into fixed-capacity sub-batches (see _apply_layer_batch) —
+    exact, and much cheaper at training batch sizes."""
     op, apply, sign = jax.vmap(
         lambda k: _sample_rand_augment(k, num_layers, prob))(keys)
     x = frames01
     for layer in range(num_layers):
         x = _apply_layer_batch(x, op[:, layer], apply[:, layer],
-                               sign[:, layer], magnitude, eq_stride)
+                               sign[:, layer], magnitude, eq_stride,
+                               apply_prob=prob, subbatch=subbatch)
     return x
 
 
 def aug_mix_batch(frames01: jnp.ndarray, keys: jax.Array, severity: int = 3,
                   width: int = 3, depth: int = 2, alpha: float = 1.0,
-                  eq_stride: int = 8) -> jnp.ndarray:
+                  eq_stride: int = 8, subbatch: bool = True) -> jnp.ndarray:
     """Batched AugMix with the same per-clip sampling as ``aug_mix``."""
     def sample(key):
         key, r_w, r_m = jax.random.split(key, 3)
@@ -510,7 +582,8 @@ def aug_mix_batch(frames01: jnp.ndarray, keys: jax.Array, severity: int = 3,
     for i in range(width):
         chain = rand_augment_batch(frames01, chain_keys[:, i],
                                    num_layers=depth, magnitude=severity,
-                                   prob=1.0, eq_stride=eq_stride)
+                                   prob=1.0, eq_stride=eq_stride,
+                                   subbatch=subbatch)
         mixed = mixed + ws[:, i, None, None, None, None].astype(
             frames01.dtype) * chain
     mb = m[:, None, None, None, None].astype(frames01.dtype)

@@ -299,7 +299,11 @@ class VideoShgVqaModel(nn.Module):
                       and aug in ("rand_aug", "rand_aug_slowfast", "aug_mix"))
             mean, std = NORM_STATS.get(self.cfg.backbone,
                                        NORM_STATS["slow_r50"])
-            aug_fn = aug_mix_batch if aug == "aug_mix" else rand_augment_batch
+            from functools import partial as _partial
+
+            aug_fn = _partial(
+                aug_mix_batch if aug == "aug_mix" else rand_augment_batch,
+                subbatch=self.cfg.data.aug_subbatch)
 
             # frames pipeline dtype: bf16 halves the HBM traffic of every
             # full-frames pass (convert/augment/normalize) — see

@@ -218,3 +218,150 @@ def plot_attention(attn: np.ndarray, path: str,
     fig.tight_layout()
     fig.savefig(path, dpi=100)
     plt.close(fig)
+
+
+# ---------------------------------------------------------------------------
+# STAR-datum browsing helpers — the text/video half of the reference's
+# qa_visualization.py (Vis_Meta_Info/Vis_Question_Answer_Options/Vis_Video/
+# Vis_SituationGraph/qa_visulization, qa_visualization.py:25-153).  The
+# reference drives these from notebooks (IPython/ipywidgets/cv2); here they
+# are plain functions over STAR-format dicts, with frame IO delegated to a
+# caller-supplied loader so they run anywhere the repo runs.
+# ---------------------------------------------------------------------------
+
+
+def print_meta_info(datum: dict) -> None:
+    """``Vis_Meta_Info`` (qa_visualization.py:25-26)."""
+    print("QID:", datum["question_id"], ", VID: ", datum["video_id"])
+
+
+def print_question_answer_options(datum: dict) -> None:
+    """``Vis_Question_Answer_Options`` (qa_visualization.py:28-35)."""
+    print("\tQ:", datum["question"], "\n")
+    print("\tAnswer:", datum["answer"])
+    for c in datum.get("choices", []):
+        if c["choice"] != datum["answer"]:
+            print("\tOption:", c["choice"])
+    print("\n")
+
+
+def print_situation_graph(datum: dict, act_cls: Dict[str, str],
+                          obj_vocab: Sequence[str],
+                          rel_vocab: Sequence[str],
+                          max_show_num: int) -> None:
+    """Textual per-frame situation subgraphs, ``Vis_SituationGraph``
+    (qa_visualization.py:102-118): actions by description, relationships as
+    'object ---- relation ---- object' triplet lines."""
+    from shgvqa_tpu.data.star import sample_frames
+
+    frame_ids = sorted(datum["situations"].keys())
+    for i, f in enumerate(sample_frames(frame_ids, max_show_num)):
+        sit = datum["situations"][f]
+        act_arr = [act_cls[a] for a in sit["actions"]]
+        print(f"{i} Frame ID:", f)
+        print("Subgraph:")
+        print("\t Actions:")
+        print("\t\t", " ,".join(act_arr))
+        print("\t Relationships:")
+        rel_ids = sit["rel_labels"]
+        for j, rel in enumerate(sit["rel_pairs"]):
+            print("\t\t", obj_vocab[int(rel[0][1:])], " ---- ",
+                  rel_vocab[int(rel_ids[j][1:])], " ---- ",
+                  obj_vocab[int(rel[1][1:])])
+        print("\n")
+
+
+def extract_video_segment(datum: dict, raw_video_dir: str,
+                          save_video_dir: str) -> str:
+    """Trim the question's [start, end] segment out of the raw mp4,
+    ``Vis_Video`` (qa_visualization.py:37-46) minus the notebook embed.
+    Uses the same stream-copy ffmpeg invocation; raises a clear error when
+    ffmpeg is absent rather than silently writing nothing (the reference's
+    os.system ignores failures)."""
+    import shutil
+    import subprocess
+
+    start = round(float(datum["start"]), 2)
+    end = round(float(datum["end"]), 2)
+    in_path = f"{raw_video_dir}{datum['video_id']}.mp4"
+    out_path = f"{save_video_dir}{datum['question_id']}.mp4"
+    print("\tVideo Seg: ", f"{start}s", "-", f"{end}s")
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            "ffmpeg not found on PATH - extract_video_segment needs it "
+            "(the reference shells out to ffmpeg the same way)")
+    subprocess.run(
+        ["ffmpeg", "-y", "-ss", str(start), "-to", str(end), "-i", in_path,
+         "-codec", "copy", out_path], check=True, capture_output=True)
+    return out_path
+
+
+def visualize_qa(data: Sequence[dict], *, load_frames=None,
+                 output_dir: str = ".", max_show_num: int = 16,
+                 act_cls: Optional[Dict[str, str]] = None,
+                 obj_vocab: Optional[Sequence[str]] = None,
+                 rel_vocab: Optional[Sequence[str]] = None,
+                 raw_video_dir: str = "", save_video_dir: str = "",
+                 pose_loader=None,
+                 vis_meta: bool = False, vis_q_a_o: bool = False,
+                 vis_v: bool = False, vis_kf: bool = False,
+                 vis_sg: bool = False, vis_pose: bool = False,
+                 vis_box: bool = False) -> None:
+    """Flag-for-flag rebuild of the ``qa_visulization`` driver
+    (qa_visualization.py:120-153) over STAR-format datum dicts.
+
+    ``load_frames(video_id, frame_ids) -> (T, H, W, 3) ndarray`` supplies
+    keyframe pixels (the repo's data.frames.FrameLoader works);
+    ``pose_loader(video_id, frame_id) -> flat keypoint list or None``
+    supplies OpenPose detections.  Plots land in ``output_dir`` keyed by
+    question_id; text sections print like the reference.
+    """
+    import os
+
+    from shgvqa_tpu.data.star import trim_keyframes
+
+    for datum in data:
+        qid = datum.get("question_id", "qa")
+        if vis_meta:
+            print_meta_info(datum)
+        if vis_q_a_o:
+            print("=" * 20, "Question & Answer & Options", "=" * 20, "\n")
+            print_question_answer_options(datum)
+        if vis_v:
+            print("=" * 20, "Trimmed Video", "=" * 20, "\n")
+            extract_video_segment(datum, raw_video_dir, save_video_dir)
+        frame_ids = trim_keyframes(datum, max_show_num) if (
+            vis_kf or vis_pose or vis_box) else []
+        frames = (np.asarray(load_frames(datum["video_id"], frame_ids))
+                  if frame_ids and load_frames is not None else None)
+        if vis_kf and frames is not None:
+            print("=" * 20, "Keyframes", "=" * 20, "\n")
+            plot_clip(frames, os.path.join(output_dir, f"{qid}_frames.png"),
+                      title=str(qid))
+        if vis_pose and frames is not None:
+            print("=" * 20, "Pose", "=" * 20, "\n")
+            kps = [pose_loader(datum["video_id"], f) if pose_loader else None
+                   for f in frame_ids]
+            plot_pose(frames, kps,
+                      os.path.join(output_dir, f"{qid}_pose.png"),
+                      title=str(qid))
+        if vis_box and frames is not None:
+            print("=" * 20, "Bounding Boxes", "=" * 20, "\n")
+            boxes, labels = [], []
+            for f in frame_ids:
+                sit = datum["situations"].get(f, {})
+                bbs = sit.get("bbox", [])
+                lbs = sit.get("bbox_labels", [""] * len(bbs))
+                names = [(obj_vocab[int(l[1:])] if (
+                    obj_vocab is not None and isinstance(l, str)
+                    and len(l) > 1 and l[1:].isdigit()) else str(l))
+                    for l in lbs]
+                boxes.append(bbs)
+                labels.append(names)
+            plot_boxes(frames, boxes, labels,
+                       os.path.join(output_dir, f"{qid}_boxes.png"),
+                       title=str(qid))
+        if vis_sg and act_cls is not None:
+            print("=" * 20, "Situation Graphs", "=" * 20, "\n")
+            print_situation_graph(datum, act_cls, obj_vocab or [],
+                                  rel_vocab or [], max_show_num)

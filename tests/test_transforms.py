@@ -184,3 +184,32 @@ def test_three_shear_rotate_close_to_bilinear():
     diff = np.abs(np.asarray(got - oracle))[:, 4:-4, 4:-4]
     assert np.mean(diff) < 0.01, np.mean(diff)
     assert np.max(diff) < 0.2, np.max(diff)
+
+
+def test_subbatch_layer_matches_full_and_overflow_falls_back():
+    """The fixed-capacity sub-batch aug layer is bit-equal to the full-batch
+    formulation, and capacity overflow routes through lax.cond to the full
+    path (exactness on EVERY step, not just typical ones)."""
+    import jax
+
+    from shgvqa_tpu.data.transforms import _apply_layer_batch, _class_cap
+
+    rng = np.random.RandomState(6)
+    b = 16
+    x = jnp.asarray(rng.rand(b, 2, 24, 24, 3).astype(np.float32))
+    sign = jnp.asarray(rng.choice([-1.0, 1.0], size=b).astype(np.float32))
+    apply = jnp.ones((b,), bool)
+
+    # typical mix: spans photometric, equalize, sharpness, and geometry
+    op_mix = jnp.asarray(rng.randint(0, 14, size=b).astype(np.int32))
+    # all-geometry: count 16 > _class_cap(16, 5/14) -> overflow fallback
+    op_geo = jnp.asarray(np.full(b, 3, np.int32))
+    assert b > _class_cap(b, 5.0 / 14.0)
+
+    for ops in (op_mix, op_geo):
+        full = _apply_layer_batch(x, ops, apply, sign, 9, 1,
+                                  apply_prob=1.0, subbatch=False)
+        sub = _apply_layer_batch(x, ops, apply, sign, 9, 1,
+                                 apply_prob=1.0, subbatch=True)
+        np.testing.assert_allclose(np.asarray(sub), np.asarray(full),
+                                   atol=1e-6, rtol=1e-6)

@@ -87,3 +87,49 @@ def test_plot_pose(tmp_path):
         kp.append(triplets)
     plot_pose(_frames(), kp, str(p), title="pose")
     _check(p)
+
+
+def test_visualize_qa_orchestrator(tmp_path, capsys):
+    """The qa_visulization driver analog (qa_visualization.py:120-153):
+    text sections print, frame-based plots render from a loader callback."""
+    from shgvqa_tpu.visualization.qa_visualization import visualize_qa
+
+    datum = {
+        "question_id": "Interaction_T1_0",
+        "video_id": "VID001",
+        "question": "What did the person do?",
+        "answer": "took the book",
+        "choices": [{"choice": "took the book"}, {"choice": "sat down"}],
+        "start": 1.0, "end": 3.0,
+        "situations": {
+            "000001": {"actions": ["a001"],
+                       "rel_labels": ["r000"],
+                       "rel_pairs": [["o000", "o001"]],
+                       "bbox": [[2.0, 2.0, 20.0, 20.0]],
+                       "bbox_labels": ["o000"]},
+            "000002": {"actions": ["a000"],
+                       "rel_labels": ["r001"],
+                       "rel_pairs": [["o001", "o000"]],
+                       "bbox": [[4.0, 4.0, 16.0, 24.0]],
+                       "bbox_labels": ["o001"]},
+        },
+    }
+    frames = _frames(t=2)
+    visualize_qa(
+        [datum],
+        load_frames=lambda vid, ids: frames[:len(ids)],
+        output_dir=str(tmp_path), max_show_num=2,
+        act_cls={"a000": "look at book", "a001": "take book"},
+        obj_vocab=["person", "book"], rel_vocab=["on", "behind"],
+        pose_loader=lambda vid, f: [5, 5, 1.0, 9, 9, 1.0, 13, 5, 1.0],
+        vis_meta=True, vis_q_a_o=True, vis_kf=True, vis_sg=True,
+        vis_pose=True, vis_box=True)
+    out = capsys.readouterr().out
+    assert "QID: Interaction_T1_0" in out
+    assert "took the book" in out
+    assert "take book" in out
+    assert "book  ----  behind  ----  person" in out.replace("   ", "  ")
+    assert "person  ----  on  ----  book" in out.replace("   ", "  ")
+    _check(tmp_path / "Interaction_T1_0_frames.png")
+    _check(tmp_path / "Interaction_T1_0_pose.png")
+    _check(tmp_path / "Interaction_T1_0_boxes.png")

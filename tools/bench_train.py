@@ -67,8 +67,10 @@ def main() -> None:
     if aug != "no_aug":
         import dataclasses
 
-        cfg = cfg.replace(data=dataclasses.replace(cfg.data,
-                                                   augment_type=aug))
+        # SHGVQA_BENCH_AUG_SUB=0 A/Bs the round-2 full-batch aug layers
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, augment_type=aug,
+            aug_subbatch=os.environ.get("SHGVQA_BENCH_AUG_SUB", "1") == "1"))
     if os.environ.get("SHGVQA_BENCH_PALLAS", "0") == "1":
         from shgvqa_tpu.kernels import attention as pallas_attn
 
