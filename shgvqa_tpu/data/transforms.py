@@ -407,7 +407,12 @@ def op_equalize_batch(x: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
     b, t, h, w, c = x.shape
     q = jnp.clip(jnp.floor(x * 255.0), 0, 255).astype(jnp.int32)
     qc = q.transpose(0, 4, 1, 2, 3).reshape(b, c, -1)          # (B, C, P)
-    sub = qc[:, :, ::stride]
+    # histogram subsample: every stride-th H-row (full W rows stay lane-
+    # contiguous) instead of every stride-th flat pixel — the flat form
+    # lowered as a lane-hostile strided s32 transpose (6.3 ms/layer at
+    # sub-batch cap 10, round-3 profile); same ~P/stride pixels/channel
+    sub_q = q if stride == 1 else q[:, :, ::stride]
+    sub = sub_q.transpose(0, 4, 1, 2, 3).reshape(b, c, -1)
     nib = jnp.arange(16, dtype=jnp.int32)
     hi = ((sub >> 4)[..., None] == nib).astype(jnp.bfloat16)
     lo = ((sub & 15)[..., None] == nib).astype(jnp.bfloat16)
@@ -431,14 +436,16 @@ def op_equalize_batch(x: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
     return out.astype(x.dtype) / 255.0
 
 
-def _class_cap(b: int, p_class: float) -> int:
+def _class_cap(b: int, p_class: float, sigmas: float = 3.0) -> int:
     """Static sub-batch capacity for one augmentation op class: the mean +
-    4 sigma tail of the Binomial(b, p_class) per-layer count (overflow
-    probability ~3e-5; the caller's lax.cond falls back to the full-batch
-    path on overflow, so results stay EXACT on every step)."""
+    ``sigmas``-sigma tail of the Binomial(b, p_class) per-layer count.
+    Overflow (~1e-3/layer at 3 sigma) routes through the caller's lax.cond
+    to the full-batch path — results stay EXACT on every step, and the
+    rare full-batch layer (~+60 ms once per ~500 steps) amortizes to
+    ~0.1 ms/step, so a tight capacity is strictly better than a safe one."""
     mean = b * p_class
     sd = (b * p_class * (1.0 - p_class)) ** 0.5
-    return min(b, int(np.ceil(mean + 4.0 * sd)) + 1)
+    return min(b, int(np.ceil(mean + sigmas * sd)) + 1)
 
 
 def _apply_layer_batch(x: jnp.ndarray, op: jnp.ndarray, apply: jnp.ndarray,
@@ -456,10 +463,15 @@ def _apply_layer_batch(x: jnp.ndarray, op: jnp.ndarray, apply: jnp.ndarray,
     Sub-batch path (``subbatch=True``, the default): clips assigned to each
     heavy class are gathered into a fixed-capacity sub-batch
     (:func:`_class_cap`), the op runs there, and the results scatter back.
-    A ``lax.cond`` routes the (astronomically rare) capacity overflow to the
-    full-batch path, so the output is bit-identical to the full path —
-    and therefore to ``vmap(rand_augment)`` — on every step.  Cheap
-    photometric ops stay full-batch: XLA fuses them into ~2 passes, and a
+    A ``lax.cond`` routes the (rare) capacity overflow to the full-batch
+    path, so the output is bit-identical to the full path — and therefore
+    to ``vmap(rand_augment)`` — on every step.  The geometry family is
+    further split into its three shear passes (x-shear+translate,
+    y-shear+translate, final x-shear), each with its own sub-batch: only
+    rotate needs all three, so shear/translate clips pay one pass instead
+    of three (identity shears are bit-exact no-ops, so the split equals the
+    composed form).  Pure elementwise ops (solarize/color/posterize/
+    brightness) stay full-batch: XLA fuses them into ~2 passes, and a
     gather/scatter per class would cost more than it saves."""
     b, t, h, w, c = x.shape
     op = jnp.where(apply, op, 0)                  # identity when not applied
@@ -475,13 +487,14 @@ def _apply_layer_batch(x: jnp.ndarray, op: jnp.ndarray, apply: jnp.ndarray,
 
     vx = lambda f, i: jax.vmap(f)(x, lvl(i))      # noqa: E731
 
-    def photometric(x):
+    def photometric(x, full):
         out = x                                    # 0: identity
-        out = sel(1, jax.vmap(op_autocontrast)(x, lvl(1)), out)
+        if full:                # reduction-bearing ops gathered otherwise
+            out = sel(1, jax.vmap(op_autocontrast)(x, lvl(1)), out)
+            out = sel(7, vx(op_contrast, 7), out)
         out = sel(4, vx(op_solarize, 4), out)
         out = sel(5, vx(op_color, 5), out)
         out = sel(6, vx(op_posterize, 6), out)
-        out = sel(7, vx(op_contrast, 7), out)
         out = sel(8, vx(op_brightness, 8), out)
         return out
 
@@ -502,29 +515,60 @@ def _apply_layer_batch(x: jnp.ndarray, op: jnp.ndarray, apply: jnp.ndarray,
     geo_fn = jax.vmap(partial(_geo_passes, pad=pad))
 
     def full_path(x):
-        out = photometric(x)
+        out = photometric(x, full=True)
         out = sel(_OP_EQUALIZE, op_equalize_batch(x, stride=eq_stride), out)
         out = sel(_OP_SHARPNESS, vx(op_sharpness, _OP_SHARPNESS), out)
         warped = geo_fn(x, lam1, beta, lam3, t1, t2)
         return jnp.where(is_geo[:, None, None, None, None], warped, out)
 
-    cap_geo = _class_cap(b, apply_prob * 5.0 / 14.0)
+    # per-pass geometry masks: rotate composes all three shear passes;
+    # shear/translate clips need exactly one (identity shears are bit-exact
+    # no-ops, so running only the needed pass equals _geo_passes)
+    is_x1 = (op == _GEO_ROT) | (op == _GEO_SHX) | (op == _GEO_TRX)
+    is_y = (op == _GEO_ROT) | (op == _GEO_SHY) | (op == _GEO_TRY)
+    is_rot = op == _GEO_ROT
+    is_autoc = op == 1
+    is_contrast = op == 7
+    cap_g3 = _class_cap(b, apply_prob * 3.0 / 14.0)
     cap_one = _class_cap(b, apply_prob / 14.0)
-    if not subbatch or (cap_geo >= b and cap_one >= b):
+    if not subbatch or (cap_g3 >= b and cap_one >= b):
         return full_path(x)                        # tiny batches: no win
 
+    ys_h = jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2.0
+    xs_w = jnp.arange(w, dtype=jnp.float32) - (w - 1) / 2.0
+
+    def shear_x_one(xc, shift):
+        planes = xc.transpose(1, 2, 0, 3).reshape(h, w, t * c)
+        p2 = _row_shear(planes, shift, pad=pad)
+        return p2.reshape(h, w, t, c).transpose(2, 0, 1, 3)
+
+    def shear_y_one(xc, shift):
+        planes = xc.transpose(2, 1, 0, 3).reshape(w, h, t * c)
+        p2 = _row_shear(planes, shift, pad=pad)
+        return p2.reshape(w, h, t, c).transpose(2, 1, 0, 3)
+
     def gathered_path(x):
-        out = photometric(x)
+        out = photometric(x, full=False)
 
         def run_sub(mask, cap, fn, out):
             # real rows first (argsort of the negated mask), padded with
             # whatever clips follow; padding rows scatter back out[idx]
-            # unchanged (NOT x[idx] — the select tree may have touched them)
+            # unchanged (the select tree / earlier passes may have touched
+            # them).  op inputs gather from OUT, not x: disjoint op classes
+            # leave each other's rows untouched, and the sequential geo
+            # passes must chain (rotate = x-shear o y-shear o x-shear).
             idx = jnp.argsort(jnp.logical_not(mask))[:cap]
             keep = mask[idx][:, None, None, None, None]
-            y = fn(x[idx], idx)
-            return out.at[idx].set(jnp.where(keep, y, out[idx]))
+            sub = out[idx]
+            y = fn(sub, idx)
+            return out.at[idx].set(jnp.where(keep, y, sub))
 
+        out = run_sub(
+            is_autoc, cap_one,
+            lambda s, i: jax.vmap(op_autocontrast)(s, lvl(1)[i]), out)
+        out = run_sub(
+            is_contrast, cap_one,
+            lambda s, i: jax.vmap(op_contrast)(s, lvl(7)[i]), out)
         out = run_sub(
             is_eq, cap_one,
             lambda s, i: op_equalize_batch(s, stride=eq_stride), out)
@@ -533,13 +577,24 @@ def _apply_layer_batch(x: jnp.ndarray, op: jnp.ndarray, apply: jnp.ndarray,
             lambda s, i: jax.vmap(op_sharpness)(
                 s, lvl(_OP_SHARPNESS)[i]), out)
         out = run_sub(
-            is_geo, cap_geo,
-            lambda s, i: geo_fn(s, lam1[i], beta[i], lam3[i], t1[i], t2[i]),
-            out)
+            is_x1, cap_g3,
+            lambda s, i: jax.vmap(shear_x_one)(
+                s, lam1[i, None] * ys_h[None] + t1[i, None]), out)
+        out = run_sub(
+            is_y, cap_g3,
+            lambda s, i: jax.vmap(shear_y_one)(
+                s, beta[i, None] * xs_w[None] + t2[i, None]), out)
+        out = run_sub(
+            is_rot, cap_one,
+            lambda s, i: jax.vmap(shear_x_one)(
+                s, lam3[i, None] * ys_h[None]), out)
         return out
 
-    overflow = ((jnp.sum(is_geo) > cap_geo) | (jnp.sum(is_eq) > cap_one)
-                | (jnp.sum(is_sharp) > cap_one))
+    overflow = ((jnp.sum(is_x1) > cap_g3) | (jnp.sum(is_y) > cap_g3)
+                | (jnp.sum(is_rot) > cap_one) | (jnp.sum(is_eq) > cap_one)
+                | (jnp.sum(is_sharp) > cap_one)
+                | (jnp.sum(is_autoc) > cap_one)
+                | (jnp.sum(is_contrast) > cap_one))
     return jax.lax.cond(overflow, full_path, gathered_path, x)
 
 
