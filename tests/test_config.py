@@ -87,3 +87,20 @@ def test_nonbert_optim_flag_flows_to_trainer_mode():
     assert cfg.optim.optim == "adam"
     cfg = parse_reference_flags(["--optim", "bert"])
     assert cfg.optim.optim == "bert"
+
+
+def test_perf_knob_flags_flow_to_config():
+    """Round-3 perf knobs: --rematPolicy selects a jax.checkpoint save
+    policy (with --remat), and the aug pipeline knobs default on."""
+    from shgvqa_tpu.configs.cli import parse_reference_flags
+
+    argv = ("--train train --taskHGQA --noCaps "
+            "--remat --rematPolicy dots_attn").split()
+    cfg = parse_reference_flags(argv, dataset="agqa")
+    assert cfg.remat and cfg.remat_policy == "dots_attn"
+    assert cfg.data.aug_subbatch          # sub-batch aug default-on
+    assert cfg.data.aug_dtype == ""       # frames dtype follows compute
+
+    cfg2 = parse_reference_flags("--train train --taskHGQA --noCaps".split(),
+                                 dataset="agqa")
+    assert not cfg2.remat and cfg2.remat_policy == ""
