@@ -37,6 +37,11 @@ def main() -> None:
     from shgvqa_tpu.models.shgvqa import VideoShgVqaModel
 
     cfg = _flagship_cfg()
+    quant = os.environ.get("SHGVQA_BENCH_QUANT", "")
+    if quant:
+        # int8 frozen trunk (models/backbone.py SlowR50.quant): init below
+        # doubles as the activation-scale calibration pass
+        cfg = cfg.replace(quant_backbone=quant, freeze_backbone=True)
     if os.environ.get("SHGVQA_BENCH_PALLAS", "0") == "1":
         from shgvqa_tpu.kernels import attention as pallas_attn
 

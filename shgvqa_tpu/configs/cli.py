@@ -156,6 +156,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="remat save policy: '' recomputes everything; "
                         "'dots' keeps matmul outputs and recomputes the "
                         "elementwise tail in backward")
+    p.add_argument("--quantBackbone", dest="quant_backbone", default="",
+                   choices=["", "int8"],
+                   help="run the FROZEN trunk quantized (slow_r50): int8 "
+                        "halves its HBM traffic and doubles the MXU rate; "
+                        "activation scales calibrate on the init batch. "
+                        "Implies --freeze-backbone semantics (the trunk "
+                        "gets no gradient)")
     p.add_argument("--backboneChunks", dest="backbone_chunks", type=int,
                    default=1,
                    help="run the frozen backbone (and its frame "
@@ -365,7 +372,10 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         optim=optim,
         mesh=mesh,
         backbone=ns.backbone,
-        freeze_backbone=(ds == "star"),
+        # --quantBackbone implies a frozen trunk (the int8 forward has zero
+        # gradient through round()); otherwise reference semantics: STAR
+        # freezes (star.py:87-88), AGQA only eval()s BN
+        freeze_backbone=(ds == "star") or bool(ns.quant_backbone),
         freeze_weights=ns.freeze_weights,
         from_scratch=ns.from_scratch,
         loss_hg_per_frame=ns.loss_hg_per_frame,
@@ -382,6 +392,7 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         log_freq=ns.log_freq,
         output_attention=ns.output_attention,
         compute_dtype=ns.compute_dtype,
+        quant_backbone=ns.quant_backbone,
         remat=ns.remat,
         remat_policy=ns.remat_policy,
         profile=ns.profile,

@@ -266,6 +266,15 @@ class Config:
     # TPU execution policy (no reference counterpart)
     compute_dtype: str = "bfloat16"   # matmul/activation dtype under jit
     param_dtype: str = "float32"
+    # --quantBackbone int8: run the FROZEN trunk in int8 (per-out-channel
+    # weight quant in-graph, static per-tensor activation scales from a
+    # calibration pass = any apply with mutable=['quant_stats'], which
+    # model.init does on its example batch).  The trunk is HBM-bound in
+    # bf16; int8 halves the streamed bytes AND doubles the MXU rate — the
+    # res_2 bottleneck chain measures 0.61x the bf16 time
+    # (tools/proto_int8_backbone.py).  slow_r50 only; requires
+    # freeze_backbone (round() has zero gradient).
+    quant_backbone: str = ""
     remat: bool = False               # jax.checkpoint the encoder blocks
     # remat save policy: "" = save nothing (full recompute); "dots" =
     # jax.checkpoint_policies.dots_with_no_batch_dims_saveable (keep matmul

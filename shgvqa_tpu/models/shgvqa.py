@@ -278,8 +278,13 @@ class VideoShgVqaModel(nn.Module):
         else:
             from shgvqa_tpu.models.backbone import make_backbone
 
+            if self.cfg.quant_backbone and not self.cfg.freeze_backbone:
+                raise ValueError(
+                    "--quantBackbone requires a frozen trunk: the int8 "
+                    "forward has zero gradient through round()")
             self.backbone = make_backbone(
-                self.cfg.backbone, dtype=_dt(self.cfg.compute_dtype))
+                self.cfg.backbone, dtype=_dt(self.cfg.compute_dtype),
+                quant=self.cfg.quant_backbone)
         self.head = ShgVqaModel(self.cfg)
 
     def __call__(self, batch: Dict[str, jnp.ndarray],
@@ -338,7 +343,12 @@ class VideoShgVqaModel(nn.Module):
                 batch["visual_feats"] = feats
                 return self.head(batch, deterministic, output_attentions)
             nc = self.cfg.backbone_chunks
-            if (nc > 1 and self.cfg.freeze_backbone
+            # a quant calibration pass (mutable quant_stats, e.g. init)
+            # must not run under nn.scan: the scale variables are broadcast
+            # there and flax forbids mutating broadcast collections
+            calibrating = (bool(self.cfg.quant_backbone)
+                           and self.is_mutable_collection("quant_stats"))
+            if (nc > 1 and self.cfg.freeze_backbone and not calibrating
                     and frames.shape[0] % nc == 0):
                 # Sequential micro-chunks bound the preprocessing + frozen
                 # trunk's activation peak (weights broadcast, batch_stats
@@ -357,7 +367,8 @@ class VideoShgVqaModel(nn.Module):
                     xs = fx
                 _, feats = nn.scan(
                     body,
-                    variable_broadcast=["params", "batch_stats"],
+                    variable_broadcast=["params", "batch_stats",
+                                        "quant_stats"],
                     split_rngs={"params": False, "dropout": False},
                     in_axes=0, out_axes=0)(self.backbone, None, xs)
                 feats = feats.reshape((frames.shape[0],) + feats.shape[2:])

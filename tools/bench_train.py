@@ -54,8 +54,12 @@ def main() -> None:
     # "" = classic full-recompute remat; "dots" saves matmul outputs and
     # recomputes only the elementwise tail (models/layers.py remat_class)
     remat_policy = os.environ.get("SHGVQA_BENCH_REMAT_POLICY", "")
+    # SHGVQA_BENCH_QUANT=int8: int8 frozen trunk (requires freeze;
+    # models/backbone.py SlowR50.quant) — init doubles as calibration
+    quant = os.environ.get("SHGVQA_BENCH_QUANT", "")
     cfg = _flagship_cfg(scan_layers=scan).replace(
-        freeze_backbone=freeze, remat=remat_on, remat_policy=remat_policy,
+        freeze_backbone=freeze or bool(quant), quant_backbone=quant,
+        remat=remat_on, remat_policy=remat_policy,
         # frozen-trunk micro-chunking (peak-memory lever for b>=128; see
         # configs/config.py backbone_chunks)
         backbone_chunks=int(os.environ.get("SHGVQA_BENCH_BB_CHUNKS", "1")))
