@@ -123,6 +123,68 @@ def make_model(cfg: Config, has_frames: bool):
     return ShgVqaModel(cfg)
 
 
+def build_driver_mesh(cfg: Config, extras: dict):
+    """--multiGPU / --dataParallel / --modelParallel -> a jax.sharding.Mesh.
+
+    The reference scales by wrapping the model in single-process
+    ``nn.DataParallel`` when ``--multiGPU`` is passed (``agqaHGQA.py:
+    124-129``, ``README.md:159``).  The TPU-native product equivalent is one
+    jitted SPMD program over a device mesh: batches shard over the ``data``
+    axis and XLA emits the gradient all-reduce over ICI
+    (``parallel/mesh.py``); ``--modelParallel > 1`` additionally applies the
+    tensor-parallel PartitionSpec rules (no reference counterpart).
+
+    Returns ``(mesh_or_None, cfg)``.  cfg may be adjusted: the eval batch is
+    rounded up to a multiple of dp (eval batches are padded and masked by
+    ``n_valid``, so padding rows never score), and when the requested layout
+    does not fit the visible devices the mesh config is reset to defaults so
+    downstream gating (e.g. the flat-state fast path keyed on
+    ``cfg.mesh.model_parallel``, ``train/loop.py``) sees a consistent
+    single-device story.
+    """
+    import dataclasses
+
+    import jax
+
+    from shgvqa_tpu.configs.config import MeshConfig
+
+    mcfg = cfg.mesh
+    requested = (extras.get("multi_gpu") or mcfg.model_parallel > 1
+                 or mcfg.data_parallel not in (-1, 1))
+    if not requested:
+        return None, cfg
+    n = jax.device_count()
+    mp = max(1, mcfg.model_parallel)
+    dp = mcfg.data_parallel if mcfg.data_parallel != -1 else max(1, n // mp)
+    if dp * mp > n or dp < 1:
+        print(f"requested mesh dp{dp} x mp{mp} needs {dp * mp} device(s) "
+              f"but only {n} visible; running single-device", flush=True)
+        return None, cfg.replace(mesh=MeshConfig())
+    if dp * mp == 1:
+        return None, cfg.replace(mesh=MeshConfig())
+    if cfg.optim.batch_size % dp:
+        raise SystemExit(
+            f"--batchSize {cfg.optim.batch_size} is not divisible by the "
+            f"data-parallel extent {dp}; pick a multiple (the reference's "
+            "DataParallel scatter has the same constraint)")
+    from shgvqa_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(MeshConfig(data_parallel=dp, model_parallel=mp),
+                     jax.devices()[: dp * mp])
+    ebs = cfg.optim.eval_batch_size
+    if ebs % dp:
+        new_ebs = -(-ebs // dp) * dp
+        print(f"eval batch {ebs} -> {new_ebs} (rounded up to the dp={dp} "
+              "mesh; trailing batches are padded and masked by n_valid)",
+              flush=True)
+        cfg = cfg.replace(optim=dataclasses.replace(
+            cfg.optim, eval_batch_size=new_ebs))
+    cfg = cfg.replace(mesh=dataclasses.replace(
+        cfg.mesh, data_parallel=dp, model_parallel=mp))
+    print(f"mesh: dp{dp} x mp{mp} over {dp * mp} devices", flush=True)
+    return mesh, cfg
+
+
 def run_driver(dataset: str, argv=None) -> dict:
     """Full train/valid/test orchestration; returns a result summary."""
     cfg, extras = parse_reference_flags_with_extras(argv, dataset=dataset)
@@ -145,6 +207,7 @@ def run_driver(dataset: str, argv=None) -> dict:
           f"{jax.device_count()}"
           + (f" processes={jax.process_count()}" if multi_host else ""),
           flush=True)
+    mesh, cfg = build_driver_mesh(cfg, extras)
 
     results: dict = {"task": cfg.task}
     test_split = cfg.data.test_split
@@ -160,6 +223,7 @@ def run_driver(dataset: str, argv=None) -> dict:
                           shuffle=False, seed=cfg.seed,
                           drop_last=cfg.data.parity_eval)
         trainer = Trainer(cfg, steps_per_epoch=max(1, len(batcher)),
+                          mesh=mesh,
                           model=make_model(cfg, has_frames=bool(
                               extras.get("synthetic_data") or
                               os.path.isdir(cfg.data.frame_dir))))
@@ -210,7 +274,7 @@ def run_driver(dataset: str, argv=None) -> dict:
     trainer = Trainer(
         cfg, steps_per_epoch=max(1, len(train_batcher)),
         model=make_model(cfg, has_frames=cfg.task != "q"),
-        trainable_mask=None,
+        trainable_mask=None, mesh=mesh,
     )
     example = _example_from(train_batcher)
     trainer.init_params(example)
@@ -221,7 +285,7 @@ def run_driver(dataset: str, argv=None) -> dict:
         params = trainer.params
         trainer = Trainer(
             cfg, steps_per_epoch=max(1, len(train_batcher)),
-            model=trainer.model, trainable_mask=mask)
+            model=trainer.model, trainable_mask=mask, mesh=mesh)
         trainer.params = params
         trainer._reset_opt()
     if cfg.task != "q" and not cfg.encoder.patches:

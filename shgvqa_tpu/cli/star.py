@@ -8,11 +8,11 @@ import sys
 from shgvqa_tpu.cli.common import run_driver
 
 
-def main(argv=None) -> None:
+def main(argv=None) -> dict:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not any(a.startswith("--task") for a in argv):
         argv.append("--taskHGQA")
-    run_driver("star", argv)
+    return run_driver("star", argv)
 
 
 if __name__ == "__main__":

@@ -128,7 +128,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compSteps", dest="comp_steps", action="store_true")
 
     # parallelism / workers
-    p.add_argument("--multiGPU", action="store_true")  # accepted; mesh handles scale
+    # --multiGPU: the reference wraps the model in nn.DataParallel
+    # (agqaHGQA.py:124-129, README.md:159); here it builds a data-parallel
+    # jax.sharding.Mesh over every visible device (cli/common.py
+    # build_driver_mesh).  --dataParallel/--modelParallel pick an explicit
+    # dp x tp layout (tensor parallelism has no reference counterpart).
+    p.add_argument("--multiGPU", action="store_true")
     p.add_argument("--numWorkers", dest="num_workers", type=int, default=8)
 
     # TPU-native extensions (no reference counterpart)
@@ -287,6 +292,12 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
                        else 2304 if ns.backbone.startswith("slowfast")
                        else cfg.encoder.visual_feat_dim)
 
+    if ns.no_caps and ns.clip_len <= 8:
+        raise SystemExit(
+            f"--noCaps with --clipLEN {ns.clip_len}: the conv tokenizer is "
+            "VALID over time (two kernel-5 convs, modeling_capsbert.py:"
+            "989-996), so it needs clipLEN > 8 (the reference uses 16 -> 8 "
+            "temporal tokens)")
     enc = cfg.encoder.__class__(
         no_caps=ns.no_caps,
         num_prim_caps=ns.NUM_PRIM_CAPS,
@@ -309,10 +320,12 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         tie_x_layers=not ns.untie_x_layers,
         scan_layers=ns.scan_layers,
         # caps tokenizer keeps the raw temporal length (no 16->8 conv
-        # compression), so visual_t = clip_len; the reference hardcodes t=8
-        # (modeling_capsbert.py:188-189) and its caps+video path would
-        # mask-mismatch -- here masks and tokens stay consistent
-        visual_t=(cfg.encoder.visual_t if ns.no_caps else ns.clip_len),
+        # compression), so visual_t = clip_len; the no-caps conv tokenizer
+        # is VALID in time (two kernel-5 convs, models/visual.py), so
+        # visual_t = clip_len - 8 — the reference hardcodes t=8 for its
+        # fixed clip of 16 (modeling_capsbert.py:188-189); deriving it keeps
+        # masks and tokens consistent at any --clipLEN
+        visual_t=(ns.clip_len - 8 if ns.no_caps else ns.clip_len),
     )
     dec = cfg.decoder.__class__(
         num_layers=ns.dlayers,
@@ -426,6 +439,7 @@ def parse_reference_flags_with_extras(argv: Optional[Sequence[str]] = None,
         "vit_weights": ns.vit_weights,
         "start_index": ns.start_index,
         "frame_loader": ns.frame_loader,
+        "multi_gpu": ns.multiGPU,
         "pretrain": {
             "task_matched": ns.task_matched,
             "task_mask_lm": ns.task_mask_lm,

@@ -140,8 +140,22 @@ class Trainer:
                                                     self.mesh)
             self.opt_state = None
         else:
+            self._place_params()
             self.opt_state = self.tx.init(self.params["params"])
         self._train_step = None   # step closures capture the spec
+
+    def _place_params(self) -> None:
+        """Mesh placement for the params tree: replicated on a dp-only mesh,
+        tensor-parallel PartitionSpecs when the model axis is >1
+        (parallel/mesh.py rules).  No-op without a mesh; re-placing already
+        placed arrays is free (device_put with an unchanged sharding)."""
+        if self.mesh is None or self.params is None:
+            return
+        from shgvqa_tpu.parallel.mesh import partition_params
+
+        shardings = partition_params(self.params, self.mesh)
+        self.params = jax.tree_util.tree_map(
+            jax.device_put, self.params, shardings)
 
     def _sync_params_from_flat(self) -> None:
         if self.flat_mode and self._flat_state is not None:
@@ -269,7 +283,7 @@ class Trainer:
                 for batch in train_batches(epoch):
                     batch = dict(batch)
                     batch.pop("ques_id", None)
-                    if self.mesh is not None and self.flat_mode:
+                    if self.mesh is not None:
                         from shgvqa_tpu.parallel.mesh import shard_batch
 
                         batch = shard_batch(batch, self.mesh)
@@ -344,11 +358,16 @@ class Trainer:
         dominate the eval loop."""
         if self._eval_step is None:
             self._build_steps()
+        self._place_params()
         pending = []
         for batch in batches:
             batch = dict(batch)
             ques_ids = batch.pop("ques_id")
             n_valid = batch.pop("n_valid", len(ques_ids))
+            if self.mesh is not None:
+                from shgvqa_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
             preds = self._eval_step(self.params, batch)
             pending.append((ques_ids, n_valid, preds))
 
@@ -399,11 +418,16 @@ class Trainer:
                 num_situations=cfg.data.num_situations)
             return (100.0 - rel["class_error"], 100.0 - act["class_error"])
 
+        self._place_params()
         pending = []
         for batch in batches:
             batch = dict(batch)
             batch.pop("ques_id", None)
             batch.pop("n_valid", None)
+            if self.mesh is not None:
+                from shgvqa_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
             pending.append(hg_metrics(self.params, batch))
         if not pending:
             return {"rel_class_acc": 0.0, "act_class_acc": 0.0}
@@ -668,5 +692,6 @@ class Trainer:
                     v=repack_like(state["opt_state"]["v"], self._flat_spec),
                     step=jnp.asarray(int(state["step"]), jnp.int32))
         else:
+            self._place_params()
             self.opt_state = state["opt_state"]
         self.step = int(state["step"])
