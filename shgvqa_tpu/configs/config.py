@@ -149,6 +149,11 @@ class DataConfig:
     # falls back to the full-batch path on capacity overflow); False = the
     # round-2 full-batch formulation (A/B lever).
     aug_subbatch: bool = True
+    # aug_mix only: run the 3 augmentation chains as ONE folded (3B) batch
+    # instead of 3 sequential B-batches (bit-identical; 6 layer passes ->
+    # 2 and better sub-batch cap amortization — data/transforms.py
+    # aug_mix_batch).  False = the round-3 sequential form (A/B lever).
+    aug_fold_chains: bool = True
     qa_arrange_type: str = "add_sep_all"  # --qaArrangeType (STAR)
     qtype: str = "Feasibility"     # --qType (STAR filter)
     merge_data: bool = False       # --mergeData

@@ -620,8 +620,18 @@ def rand_augment_batch(frames01: jnp.ndarray, keys: jax.Array,
 
 def aug_mix_batch(frames01: jnp.ndarray, keys: jax.Array, severity: int = 3,
                   width: int = 3, depth: int = 2, alpha: float = 1.0,
-                  eq_stride: int = 8, subbatch: bool = True) -> jnp.ndarray:
-    """Batched AugMix with the same per-clip sampling as ``aug_mix``."""
+                  eq_stride: int = 8, subbatch: bool = True,
+                  fold_chains: bool = True) -> jnp.ndarray:
+    """Batched AugMix with the same per-clip sampling as ``aug_mix``.
+
+    ``fold_chains`` (default) runs the ``width`` augmentation chains as ONE
+    ``rand_augment_batch`` over a (width*B) folded batch instead of width
+    sequential B-sized calls: ``width*depth`` layer passes collapse to
+    ``depth``, and the fixed-capacity sub-batch gathers amortize better at
+    width*B (the 3-sigma tail is relatively smaller, so fewer wasted
+    gathered rows per real row).  Bit-identical to the unfolded form: each
+    clip-chain keeps its own key and layer order, and the weighted chain
+    accumulation below runs in the same i = 0..width-1 order."""
     def sample(key):
         key, r_w, r_m = jax.random.split(key, 3)
         ws = jax.random.dirichlet(r_w, jnp.full((width,), alpha))
@@ -633,14 +643,30 @@ def aug_mix_batch(frames01: jnp.ndarray, keys: jax.Array, severity: int = 3,
         return ws, m, jnp.stack(chain_keys)
 
     ws, m, chain_keys = jax.vmap(sample)(keys)     # (B,W), (B,), (B,W,2)
-    mixed = jnp.zeros_like(frames01)
-    for i in range(width):
-        chain = rand_augment_batch(frames01, chain_keys[:, i],
-                                   num_layers=depth, magnitude=severity,
-                                   prob=1.0, eq_stride=eq_stride,
-                                   subbatch=subbatch)
-        mixed = mixed + ws[:, i, None, None, None, None].astype(
-            frames01.dtype) * chain
+    b = frames01.shape[0]
+    if fold_chains:
+        tiled = jnp.broadcast_to(
+            frames01[None], (width,) + frames01.shape
+        ).reshape((width * b,) + frames01.shape[1:])
+        # folded row w*b + i carries chain w of clip i
+        folded_keys = chain_keys.transpose(1, 0, 2).reshape(width * b, -1)
+        chains = rand_augment_batch(tiled, folded_keys, num_layers=depth,
+                                    magnitude=severity, prob=1.0,
+                                    eq_stride=eq_stride, subbatch=subbatch)
+        chains = chains.reshape((width, b) + frames01.shape[1:])
+        mixed = jnp.zeros_like(frames01)
+        for i in range(width):
+            mixed = mixed + ws[:, i, None, None, None, None].astype(
+                frames01.dtype) * chains[i]
+    else:
+        mixed = jnp.zeros_like(frames01)
+        for i in range(width):
+            chain = rand_augment_batch(frames01, chain_keys[:, i],
+                                       num_layers=depth, magnitude=severity,
+                                       prob=1.0, eq_stride=eq_stride,
+                                       subbatch=subbatch)
+            mixed = mixed + ws[:, i, None, None, None, None].astype(
+                frames01.dtype) * chain
     mb = m[:, None, None, None, None].astype(frames01.dtype)
     return (1.0 - mb) * frames01 + mb * mixed
 

@@ -306,9 +306,14 @@ class VideoShgVqaModel(nn.Module):
                                        NORM_STATS["slow_r50"])
             from functools import partial as _partial
 
-            aug_fn = _partial(
-                aug_mix_batch if aug == "aug_mix" else rand_augment_batch,
-                subbatch=self.cfg.data.aug_subbatch)
+            if aug == "aug_mix":
+                aug_fn = _partial(
+                    aug_mix_batch, subbatch=self.cfg.data.aug_subbatch,
+                    fold_chains=self.cfg.data.aug_fold_chains)
+            else:
+                aug_fn = _partial(
+                    rand_augment_batch,
+                    subbatch=self.cfg.data.aug_subbatch)
 
             # frames pipeline dtype: bf16 halves the HBM traffic of every
             # full-frames pass (convert/augment/normalize) — see

@@ -165,6 +165,22 @@ def test_aug_mix_batch_matches_vmapped_per_clip():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_aug_mix_fold_chains_bit_identical():
+    """The width*B folded-chain execution (the default, round-4 perf work)
+    must be BIT-identical to the sequential per-chain form — same per-clip
+    keys, same layer order, same weighted accumulation order."""
+    import jax
+
+    from shgvqa_tpu.data.transforms import aug_mix_batch
+
+    rng = np.random.RandomState(9)
+    frames = rng.rand(6, 2, 16, 16, 3).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(3), 6)
+    folded = aug_mix_batch(jnp.asarray(frames), keys, fold_chains=True)
+    seq = aug_mix_batch(jnp.asarray(frames), keys, fold_chains=False)
+    np.testing.assert_array_equal(np.asarray(folded), np.asarray(seq))
+
+
 def test_three_shear_rotate_close_to_bilinear():
     """op_rotate uses the Paeth 3-shear decomposition (TPU-friendly 1-D
     passes); bound its divergence from the 2-D bilinear oracle."""

@@ -71,10 +71,13 @@ def main() -> None:
     if aug != "no_aug":
         import dataclasses
 
-        # SHGVQA_BENCH_AUG_SUB=0 A/Bs the round-2 full-batch aug layers
+        # SHGVQA_BENCH_AUG_SUB=0 A/Bs the round-2 full-batch aug layers;
+        # SHGVQA_BENCH_AUG_FOLD=0 A/Bs aug_mix's round-3 sequential chains
         cfg = cfg.replace(data=dataclasses.replace(
             cfg.data, augment_type=aug,
-            aug_subbatch=os.environ.get("SHGVQA_BENCH_AUG_SUB", "1") == "1"))
+            aug_subbatch=os.environ.get("SHGVQA_BENCH_AUG_SUB", "1") == "1",
+            aug_fold_chains=os.environ.get(
+                "SHGVQA_BENCH_AUG_FOLD", "1") == "1"))
     if os.environ.get("SHGVQA_BENCH_PALLAS", "0") == "1":
         from shgvqa_tpu.kernels import attention as pallas_attn
 
