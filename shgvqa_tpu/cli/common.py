@@ -278,10 +278,21 @@ def run_driver(dataset: str, argv=None) -> dict:
     )
     example = _example_from(train_batcher)
     trainer.init_params(example)
+    # torch optimizers skip params whose grad is None: structurally
+    # grad-disconnected subtrees (e.g. x_layers/pooler under HGQA, which
+    # only feed the unsupervised `logit` head) get neither updates nor
+    # weight decay in the reference (optimization.py:131-132) — mask them
+    # like frozen params, composed with the explicit freeze policies
+    from shgvqa_tpu.train.step import connected_param_mask
+
+    mask = connected_param_mask(trainer.params, cfg)
     if (cfg.freeze_backbone and cfg.task != "q") or cfg.freeze_weights:
-        # rebuild optimizer with the frozen subtrees masked out, reusing
+        fm = _trainable_mask(trainer.params, cfg)
+        mask = jax.tree_util.tree_map(lambda a, b: bool(a) and bool(b),
+                                      mask, fm)
+    if not all(jax.tree_util.tree_leaves(mask)):
+        # rebuild optimizer with the masked subtrees excluded, reusing
         # the already-initialized params (init is a full-device trace)
-        mask = _trainable_mask(trainer.params, cfg)
         params = trainer.params
         trainer = Trainer(
             cfg, steps_per_epoch=max(1, len(train_batcher)),

@@ -71,6 +71,44 @@ def _pad2d(flat: jnp.ndarray) -> jnp.ndarray:
         -1, LANES)
 
 
+def _aligned_ravel(params):
+    """Lane-aligned ravel: every leaf starts at a LANES-aligned offset.
+
+    ravel_pytree packs leaves back to back, so the backward of the unravel
+    (the per-step grad-flatten concat, ~16 ms of the b64 train profile) has
+    to stitch ~200 slices at arbitrary lane phases.  Aligning each leaf's
+    segment to the 256-lane boundary turns every piece of that concat into
+    a whole-lane copy.  The gaps are inert: their grads are exactly zero
+    (unravel never reads them), so BertAdam's update there is
+    -lr*(0/(sqrt(0)+eps) + wd*0) = 0 forever.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    shapes = [jnp.shape(l) for l in leaves]
+    sizes = [int(np.prod(s)) if len(s) else 1 for s in shapes]
+    dtypes = [jnp.asarray(l).dtype for l in leaves]
+    offsets = []
+    off = 0
+    for sz in sizes:
+        offsets.append(off)
+        off += -(-sz // LANES) * LANES
+    total = off
+
+    def ravel_fn(tree):
+        ls = jax.tree_util.tree_leaves(tree)
+        buf = jnp.zeros((total,), jnp.float32)
+        for o, sz, leaf in zip(offsets, sizes, ls):
+            buf = buf.at[o:o + sz].set(
+                jnp.asarray(leaf, jnp.float32).reshape(-1))
+        return buf
+
+    def unravel_fn(flat):
+        ls = [flat[o:o + sz].reshape(sh).astype(dt)
+              for o, sz, sh, dt in zip(offsets, sizes, shapes, dtypes)]
+        return jax.tree_util.tree_unflatten(treedef, ls)
+
+    return ravel_fn, unravel_fn, total
+
+
 def build_flat_state(variables: Dict[str, Any],
                      trainable_mask: Optional[Any] = None,
                      layout: str = "2d",
@@ -90,8 +128,13 @@ def build_flat_state(variables: Dict[str, Any],
 
     params = variables["params"]
     aux = {k: v for k, v in variables.items() if k != "params"}
-    flat, unravel = ravel_pytree(params)
-    flat = flat.astype(jnp.float32)
+    if layout == "1d_aligned":
+        ravel, unravel, _total = _aligned_ravel(params)
+        flat = jax.jit(ravel)(params)
+    else:
+        flat, unravel = ravel_pytree(params)
+        ravel = None
+        flat = flat.astype(jnp.float32)
     if trainable_mask is not None:
         mask_p = trainable_mask["params"] if (
             isinstance(trainable_mask, dict)
@@ -99,7 +142,10 @@ def build_flat_state(variables: Dict[str, Any],
         mask_tree = jax.tree_util.tree_map(
             lambda t, p: jnp.full(jnp.shape(p), float(t), jnp.float32),
             mask_p, params)
-        trainable, _ = ravel_pytree(mask_tree)
+        if layout == "1d_aligned":
+            trainable = jax.jit(ravel)(mask_tree)
+        else:
+            trainable, _ = ravel_pytree(mask_tree)
     else:
         trainable = jnp.ones_like(flat)
     pack = _pad2d if layout == "2d" else (lambda x: x)
@@ -130,9 +176,27 @@ def shard_flat_state(state: FlatTrainState, mesh) -> FlatTrainState:
 
 
 def repack_like(arr: jnp.ndarray, spec: FlatSpec) -> jnp.ndarray:
-    """Repack a stored flat-state array (either layout) into spec.layout —
-    lets a checkpoint written under one layout resume under the other."""
-    flat = jnp.asarray(arr).reshape(-1)[:spec.n]
+    """Repack a stored flat-state array into spec.layout — lets a checkpoint
+    written under one layout resume under the other.  "2d" and "1d" share
+    the ravel_pytree element order (tail padding only) and convert freely;
+    "1d_aligned" has per-leaf gap padding, so only a same-layout restore is
+    accepted (the orders differ element-wise)."""
+    flat = jnp.asarray(arr).reshape(-1)
+    if spec.layout == "1d_aligned":
+        if flat.shape[0] != spec.n:
+            raise ValueError(
+                "flat checkpoint was written under the ravel_pytree layout; "
+                "it cannot be repacked into 1d_aligned (different element "
+                "order) — restore with SHGVQA_FLAT_LAYOUT matching the "
+                "checkpoint, or drop the optimizer moments")
+        return flat
+    tail_pad = -(-spec.n // LANES) * LANES
+    if flat.shape[0] not in (spec.n, tail_pad):
+        raise ValueError(
+            "flat checkpoint appears to use the 1d_aligned layout; it "
+            "cannot be repacked into the ravel_pytree layouts — restore "
+            "with SHGVQA_FLAT_LAYOUT=1d_aligned, or drop the moments")
+    flat = flat[:spec.n]
     return _pad2d(flat) if spec.layout == "2d" else flat
 
 

@@ -68,6 +68,69 @@ def compute_losses(cfg: Config, outputs: Dict[str, jnp.ndarray],
     return total, metrics
 
 
+def connected_param_mask(params, cfg: Config):
+    """True = the parameter receives gradient from the task's loss graph.
+
+    torch optimizers SKIP parameters whose ``.grad is None`` — in the
+    reference, modules that only feed the UNSUPERVISED ``logit`` head under
+    HGQA training (the cross-modal x_layers and the LXRT pooler: the HG path
+    consumes the PRE-cross-attention snapshots, ``agqa_model.py:215-218``,
+    and the HGQA loss backprops nothing through ``logit``,
+    ``agqaHGQA.py:344-378``) are never touched by ``BertAdam.step``
+    (``optimization.py:131-132`` ``if p.grad is None: continue``): no
+    update AND no decoupled weight decay.  A JAX ``value_and_grad`` gives
+    those leaves structural ZEROS instead, and an unmasked BertAdam would
+    weight-decay them every step — a real (if slow) trajectory divergence.
+
+    This mask encodes the loss-graph connectivity per task so disconnected
+    subtrees ride the same zero-update path as frozen ones.  Locked against
+    torch by tests/test_reference_checkpoint_import.py (flagship dims) and
+    tests/test_optimizer.py.
+    """
+    task = cfg.task
+    per_choice = (task != "q"
+                  and cfg.data.qa_arrange_type in ("add_sep", "no_sep"))
+
+    def decide(path) -> bool:
+        keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+        if task in ("hgqa", "vhga", "hgvqa"):
+            if cfg.gt_hg:
+                # GT-HG embeds ground-truth labels; the decoders and class
+                # heads are built but bypassed (agqa_model.py:223-231)
+                for dead in ("rel_decoder", "action_decoder",
+                             "class_embed", "action_embed"):
+                    if dead in keys:
+                        return False
+            if task in ("hgqa", "vhga") and not cfg.after_cross_attn_feats:
+                # post-cross streams feed only `logit`: x_layers + pooler
+                # are grad-disconnected (for 'hgvqa' the fusion head
+                # supervises the pooled output, star_model.py:189-191)
+                if "lxrt" in keys:
+                    rest = keys[keys.index("lxrt") + 1:]
+                    if rest and rest[0] == "pooler":
+                        return False
+                    if (len(rest) > 1 and rest[0] == "encoder"
+                            and rest[1].startswith("x_")):
+                        return False
+            if per_choice:
+                # per-choice heads score the hg path; logit_fc/logit_fc2
+                # exist but are unused in this arrangement
+                if "logit_fc" in keys or "logit_fc2" in keys:
+                    return False
+                if task == "hgvqa" and "choice_score_fc" in keys \
+                        and "choice_score_fc2" not in keys:
+                    return False   # plain-logit head, unsupervised
+            elif task == "hgvqa" and "logit_fc" in keys \
+                    and "logit_fc2" not in keys:
+                return False       # logit unsupervised; fusion head learns
+        elif task == "vqa" and per_choice and "logit_fc" in keys:
+            return False           # choice head scores; logit_fc unused
+        return True
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: decide(path), params)
+
+
 def make_train_step(cfg: Config, model, tx):
     """Returns train_step(params, opt_state, batch, rng) ->
     (params, opt_state, metrics)."""

@@ -206,11 +206,15 @@ def test_flat_layout_1d_matches_2d():
         return loss, {"total_loss": loss}
 
     finals = {}
-    for layout in ("2d", "1d"):
+    for layout in ("2d", "1d", "1d_aligned"):
         state, spec = build_flat_state(variables, layout=layout)
         assert spec.layout == layout
         assert state.flat.ndim == (2 if layout == "2d" else 1)
-        assert spec.n % 256 != 0
+        if layout == "1d_aligned":
+            # every leaf segment is lane-aligned -> total is a multiple
+            assert spec.n % 256 == 0
+        else:
+            assert spec.n % 256 != 0
         step = make_flat_train_step(
             None, model, spec, lr=1e-2, t_total=-1, compute_losses=losses,
             donate=False)
@@ -219,10 +223,37 @@ def test_flat_layout_1d_matches_2d():
         finals[layout] = jax.device_get(flat_to_variables(state, spec))
 
     a = jax.tree_util.tree_leaves(finals["2d"]["params"])
-    b = jax.tree_util.tree_leaves(finals["1d"]["params"])
-    for x, y in zip(a, b):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                   rtol=1e-6, atol=1e-7)
+    for other in ("1d", "1d_aligned"):
+        b = jax.tree_util.tree_leaves(finals[other]["params"])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-6, atol=1e-7)
+
+
+def test_repack_rejects_cross_order_layouts():
+    """m/v repacking between the ravel_pytree layouts and 1d_aligned is
+    order-incompatible and must fail loudly, not silently scramble."""
+    import flax.linen as nn
+    import pytest
+
+    from shgvqa_tpu.train.flat_state import build_flat_state, repack_like
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, batch, deterministic=True):
+            return {"y": nn.Dense(5)(batch["x"])}
+
+    variables = Toy().init(jax.random.PRNGKey(0),
+                           {"x": jnp.ones((2, 4))})
+    s1, spec1 = build_flat_state(variables, layout="1d")
+    sa, spec_a = build_flat_state(variables, layout="1d_aligned")
+    # same-order conversions still work
+    assert repack_like(s1.flat, spec1).shape == s1.flat.shape
+    assert repack_like(sa.flat, spec_a).shape == sa.flat.shape
+    with pytest.raises(ValueError, match="1d_aligned"):
+        repack_like(s1.flat, spec_a)
+    with pytest.raises(ValueError, match="1d_aligned"):
+        repack_like(sa.flat, spec1)
 
 
 def test_multi_step_scan_matches_single_steps():

@@ -230,3 +230,91 @@ def test_plain_optimizer_unknown_name_raises():
 
     with pytest.raises(ValueError, match="unknown optimizer"):
         plain_optimizer("adagrad", 0.1)
+
+
+def test_connected_param_mask_by_task():
+    """torch BertAdam skips None-grad params (optimization.py:131-132);
+    connected_param_mask encodes which subtrees are grad-disconnected per
+    task so the product optimizer masks them (no update, no weight decay).
+    Flagship-dims proof vs torch lives in
+    tests/test_reference_checkpoint_import.py::
+    test_flagship_dims_train_step_parity."""
+    import dataclasses
+
+    import jax
+
+    from shgvqa_tpu.configs.config import tiny_test_config
+    from shgvqa_tpu.models.shgvqa import ShgVqaModel
+    from shgvqa_tpu.train.step import connected_param_mask
+
+    def build(task, **cfg_kw):
+        cfg = tiny_test_config(task=task)
+        if cfg_kw:
+            cfg = cfg.replace(**cfg_kw)
+        model = ShgVqaModel(cfg)
+        e, d = cfg.encoder, cfg.data
+        b = 2
+        batch = {
+            "input_ids": np.ones((b, d.max_seq_length), np.int32),
+            "input_mask": np.ones((b, d.max_seq_length), np.int32),
+            "segment_ids": np.zeros((b, d.max_seq_length), np.int32),
+        }
+        if task != "q":
+            batch.update({
+                "visual_feats": np.zeros(
+                    (b, e.visual_t + 8, e.visual_hw, e.visual_hw,
+                     e.visual_feat_dim), np.float32),
+                "visual_mask": np.ones((b, e.visual_seq_length), np.int32),
+                "hg_mask": np.ones(
+                    (b, d.num_situations, d.num_act + d.num_rel), np.int32),
+            })
+        params = ShgVqaModel(cfg).init(
+            jax.random.PRNGKey(0), batch, deterministic=True)
+        return params, connected_param_mask(params, cfg)
+
+    def flat(mask):
+        return {
+            jax.tree_util.keystr(path): v for path, v in
+            jax.tree_util.tree_flatten_with_path(mask)[0]
+        }
+
+    # hgqa: the LXRT x_layers + pooler are disconnected (they only feed
+    # the unsupervised `logit`); the hgq_encoder's own x/pooler stay live
+    params, mask = build("hgqa")
+    f = flat(mask)
+    assert any("lxrt" in k and "x_tied" in k for k in f), list(f)[:5]
+    for k, v in f.items():
+        if "lxrt" in k and ("pooler" in k or "x_tied" in k):
+            assert not v, k
+        else:
+            assert v, k
+
+    # vqa: the tree has no decoder subtrees at all; everything connected
+    _, mask = build("vqa")
+    assert all(jax.tree_util.tree_leaves(mask))
+
+    # q: everything connected
+    _, mask = build("q")
+    assert all(jax.tree_util.tree_leaves(mask))
+
+    # hgvqa: fusion head supervises pooled output -> x/pooler connected,
+    # but the plain logit_fc is now the unsupervised head
+    _, mask = build("hgvqa")
+    f = flat(mask)
+    for k, v in f.items():
+        if "logit_fc2" in k:
+            assert v, k
+        elif "logit_fc" in k:
+            assert not v, k
+        elif "lxrt" in k and ("pooler" in k or "x_tied" in k):
+            assert v, k
+        else:
+            assert v, k
+
+    # gt_hg: decoders and class heads bypassed
+    _, mask = build("hgqa", gt_hg=True)
+    f = flat(mask)
+    for k, v in f.items():
+        if any(s in k for s in ("rel_decoder", "action_decoder",
+                                "class_embed", "action_embed")):
+            assert not v, k
