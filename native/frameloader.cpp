@@ -1,4 +1,4 @@
-// Native clip loader: threaded PNG decode + bilinear resize to RGB888.
+// Native clip loader: threaded PNG/JPEG decode + bilinear resize to RGB888.
 //
 // The reference's input pipeline spends its time in per-frame cv2.imread
 // calls inside 8 DataLoader worker processes (agqa_data.py:206-213).  This
@@ -7,6 +7,10 @@
 // Python side hands to jax.device_put — no per-frame Python objects, no
 // copies, no worker processes.
 //
+// Formats are sniffed from the file's magic bytes, not the extension: the
+// reference's frame paths say `.png` (agqa_data.py:209) but the upstream
+// Charades-v1 frame dump ships JPEGs, and cv2.imread ignores extensions too.
+//
 // C ABI (ctypes-friendly):
 //   int fl_set_threads(int n);
 //   int fl_decode_clip(const char** paths, int n_frames,
@@ -14,9 +18,15 @@
 //     out must hold n_frames*out_h*out_w*3 bytes; returns 0 on success,
 //     -(index+1) for the first frame that failed.
 //
-// Build: g++ -O3 -shared -fPIC frameloader.cpp -lpng -lz -pthread
+// Build: g++ -O3 -shared -fPIC frameloader.cpp -lpng -ljpeg -lz -pthread
 //        (see shgvqa_tpu/data/native_loader.py, which builds lazily)
 
+#include <csetjmp>
+#include <cstddef>
+#include <cstdio>
+
+// jpeglib.h relies on size_t/FILE being declared by its includer
+#include <jpeglib.h>
 #include <png.h>
 
 #include <atomic>
@@ -87,6 +97,74 @@ bool decode_png(const char* path, Image* out) {
   png_destroy_read_struct(&png, &info, nullptr);
   std::fclose(fp);
   return true;
+}
+
+// libjpeg error handling: the default handler calls exit(); route fatal
+// errors through longjmp instead so a truncated frame fails the clip, not
+// the process.
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  std::jmp_buf jmp;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  std::longjmp(err->jmp, 1);
+}
+
+// Decode one JPEG file to 8-bit RGB (grayscale promoted to RGB).
+bool decode_jpeg(const char* path, Image* out) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, fp);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;   // gray/YCbCr/CMYK -> RGB888
+  jpeg_start_decompress(&cinfo);
+  out->h = static_cast<int>(cinfo.output_height);
+  out->w = static_cast<int>(cinfo.output_width);
+  if (cinfo.output_components != 3) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+    return false;
+  }
+  out->rgb.resize(static_cast<size_t>(out->h) * out->w * 3);
+  const size_t rowbytes = static_cast<size_t>(out->w) * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out->rgb.data() +
+                   static_cast<size_t>(cinfo.output_scanline) * rowbytes;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(fp);
+  return true;
+}
+
+// Sniff the magic bytes and dispatch (cv2.imread semantics: the extension
+// is not trusted).
+bool decode_image(const char* path, Image* out) {
+  unsigned char magic[2] = {0, 0};
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return false;
+  const size_t got = std::fread(magic, 1, 2, fp);
+  std::fclose(fp);
+  if (got != 2) return false;
+  if (magic[0] == 0xFF && magic[1] == 0xD8) return decode_jpeg(path, out);
+  return decode_png(path, out);
 }
 
 // Bilinear resize HxWx3 -> out_h x out_w x 3 (align_corners=false,
@@ -200,7 +278,7 @@ int fl_decode_clip(const char** paths, int n_frames, int out_h, int out_w,
   for (int i = 0; i < n_frames; ++i) {
     pool()->submit([&, i] {
       Image img;
-      if (!decode_png(paths[i], &img)) {
+      if (!decode_image(paths[i], &img)) {
         int expected = 0;
         failed.compare_exchange_strong(expected, -(i + 1));
       } else {

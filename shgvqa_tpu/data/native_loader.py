@@ -1,8 +1,8 @@
 """ctypes bindings for the native C++ clip decoder (native/frameloader.cpp).
 
 Builds the shared library lazily with g++ on first use (cached under
-``native/build/``); falls back to the PIL loader when a toolchain or libpng
-is unavailable.  Replaces the reference's 8-process cv2 DataLoader stage with
+``native/build/``); falls back to the PIL loader when a toolchain or
+libpng/libjpeg is unavailable.  Replaces the reference's 8-process cv2 DataLoader stage with
 one in-process threaded decode directly into a contiguous clip buffer.
 """
 
@@ -31,7 +31,7 @@ def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _SO, "-lpng", "-lz", "-pthread",
+        _SRC, "-o", _SO, "-lpng", "-ljpeg", "-lz", "-pthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)

@@ -160,3 +160,38 @@ def test_native_and_pil_loaders_agree(tmp_path):
     a2 = nat(vid, fids[:4])
     b2 = pil(vid, fids[:4])
     assert a2.shape == b2.shape
+
+
+def test_jpeg_frames_by_magic_bytes(tmp_path):
+    """Charades-v1 frame dumps ship JPEGs even though the reference's frame
+    paths say .png (agqa_data.py:209; cv2.imread ignores extensions) — the
+    native decoder sniffs magic bytes and decodes JPEG (incl. grayscale)
+    bit-identically to PIL's libjpeg path."""
+    import ctypes
+
+    from PIL import Image
+
+    from shgvqa_tpu.data import native_loader
+
+    lib = native_loader.get_lib()
+    if lib is None:
+        pytest.skip("native loader did not build")
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    p_rgb = tmp_path / "f1.png"     # .png extension, JPEG content
+    p_gray = tmp_path / "f2.png"
+    Image.fromarray(img).save(p_rgb, format="JPEG", quality=92)
+    Image.fromarray(img[:, :, 0]).save(p_gray, format="JPEG")
+
+    paths = [str(p_rgb), str(p_gray)]
+    arr = np.zeros((2, 48, 64, 3), np.uint8)
+    cp = (ctypes.c_char_p * 2)(*[p.encode() for p in paths])
+    rc = lib.fl_decode_clip(
+        cp, 2, 48, 64, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    assert rc == 0
+
+    ref_rgb = np.asarray(Image.open(p_rgb).convert("RGB"))
+    ref_gray = np.asarray(Image.open(p_gray).convert("RGB"))
+    np.testing.assert_array_equal(arr[0], ref_rgb)
+    np.testing.assert_array_equal(arr[1], ref_gray)
