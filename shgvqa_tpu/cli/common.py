@@ -58,6 +58,9 @@ def build_tokenizer(cfg: Config, extras: dict, corpus) -> BertTokenizer:
 def build_data(cfg: Config, extras: dict, split: str):
     """Returns the raw data object for a split (synthetic or from files)."""
     n_syn = extras.get("synthetic_data") or 0
+    if split != cfg.data.train_split and extras.get("synthetic_valid"):
+        # --syntheticValid M: cheap per-epoch eval in smoke runs
+        n_syn = extras["synthetic_valid"]
     if cfg.data.dataset == "star":
         if n_syn:
             # NOTE: stable hash — builtin hash() is randomized per process

@@ -168,6 +168,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "activation scales calibrate on the init batch. "
                         "Implies --freeze-backbone semantics (the trunk "
                         "gets no gradient)")
+    p.add_argument("--freezeBackbone", dest="freeze_backbone",
+                   action="store_true",
+                   help="freeze the video trunk (no gradients, no "
+                        "optimizer state) - the STAR recipe's semantics "
+                        "(star.py:87-88) exposed for every driver; AGQA's "
+                        "reference default only eval()s BatchNorm")
     p.add_argument("--backboneChunks", dest="backbone_chunks", type=int,
                    default=1,
                    help="run the frozen backbone (and its frame "
@@ -188,6 +194,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default=0, metavar="N",
                    help="run on N synthetic examples instead of files "
                         "(smoke/bench)")
+    p.add_argument("--syntheticValid", dest="synthetic_valid", type=int,
+                   default=0, metavar="M",
+                   help="with --syntheticData: size the valid/test splits "
+                        "at M items instead of N (keeps per-epoch eval "
+                        "cheap in smoke runs)")
     p.add_argument("--vocab", dest="vocab_path", default=None,
                    help="WordPiece vocab.txt (default: {dataDir}/vocab.txt)")
     p.add_argument("--buildVocab", dest="build_vocab", action="store_true",
@@ -388,7 +399,8 @@ def parse_reference_flags(argv: Optional[Sequence[str]] = None,
         # --quantBackbone implies a frozen trunk (the int8 forward has zero
         # gradient through round()); otherwise reference semantics: STAR
         # freezes (star.py:87-88), AGQA only eval()s BN
-        freeze_backbone=(ds == "star") or bool(ns.quant_backbone),
+        freeze_backbone=(ds == "star") or bool(ns.quant_backbone)
+        or ns.freeze_backbone,
         freeze_weights=ns.freeze_weights,
         from_scratch=ns.from_scratch,
         loss_hg_per_frame=ns.loss_hg_per_frame,
@@ -429,6 +441,7 @@ def parse_reference_flags_with_extras(argv: Optional[Sequence[str]] = None,
     cfg = parse_reference_flags(argv, dataset)
     extras = {
         "synthetic_data": ns.synthetic_data,
+        "synthetic_valid": ns.synthetic_valid,
         "vocab_path": ns.vocab_path,
         "build_vocab": ns.build_vocab,
         "tqdm": ns.tqdm,

@@ -44,6 +44,11 @@ def compute_losses(cfg: Config, outputs: Dict[str, jnp.ndarray],
     hgqa_loss = bce_vqa_loss(outputs["hg_logit"], batch["target"])
     total = hgqa_loss
     metrics["hgqa_loss"] = hgqa_loss
+    # train-time answer accuracy from the hg head argmax, the reference's
+    # per-epoch train score (agqaHGQA.py:394-402) computed in-graph
+    metrics["hg_train_acc"] = jnp.mean(
+        (jnp.argmax(outputs["hg_logit"], axis=-1)
+         == jnp.argmax(batch["target"], axis=-1)).astype(jnp.float32))
 
     if not cfg.gt_hg:
         rel_w = empty_weight(cfg.num_rel_classes + 1, cfg.eos_coef)
