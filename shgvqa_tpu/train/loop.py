@@ -669,9 +669,22 @@ class Trainer:
             # a reference torch snapshot, not one of our orbax checkpoints
             self.load_reference(name_or_path)
             return
+        # Restore against a HOST-side template and free the init-time
+        # device state first: the old path held the init params + flat
+        # state on device while orbax materialized a full second copy,
+        # doubling the load-path peak (observed as device OOM resuming a
+        # flagship checkpoint on a busy chip).
+        def host_zero(x):
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                return np.zeros(jnp.shape(x), np.dtype(x.dtype))
+            return x
+
+        template = jax.tree_util.tree_map(host_zero, self.state_dict())
+        self.params = None
+        self._flat_state = None
+        self.opt_state = None
         try:
-            state = self.ckpt.restore(name_or_path,
-                                      template=self.state_dict())
+            state = self.ckpt.restore(name_or_path, template=template)
         except Exception:
             if not self.flat_mode:
                 raise
