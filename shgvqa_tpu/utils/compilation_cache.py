@@ -15,6 +15,21 @@ _DEFAULT = os.path.join(
 
 
 def enable_compilation_cache() -> str | None:
+    """Persistent cache for TPU backends; DISABLED on the CPU backend.
+
+    Measured this round (round-5 notes): XLA:CPU AOT cache artifacts are
+    rejected at load time even on the SAME host and jax build — the compile
+    step records tuning pseudo-features (``+prefer-no-scatter``,
+    ``+prefer-no-gather``) in the artifact's machine-feature list, and the
+    loader's host-feature probe never reports them, so every lookup fails
+    ``cpu_aot_loader.cc:210`` and pays a rejected load plus the full cold
+    compile anyway (the MULTICHIP_r04 log spam; reproduced with a 2-process
+    same-host probe).  The cache is therefore pure overhead under
+    ``JAX_PLATFORMS=cpu``; SHGVQA_CPU_CACHE=1 re-enables it if a future
+    jaxlib fixes the feature check."""
+    if (os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+            and os.environ.get("SHGVQA_CPU_CACHE", "0") != "1"):
+        return None
     where = os.environ.get("SHGVQA_COMPILE_CACHE", _DEFAULT)
     if where == "off":
         return None
