@@ -53,7 +53,15 @@ class Batcher:
         drop_last: bool = False,
         pad_last: bool = True,
         seed: int = 9595,
+        host_shard: Optional[tuple] = None,
     ):
+        """host_shard=(process_index, process_count): multi-host mode — the
+        shuffle order and batch boundaries are GLOBAL (identical on every
+        host, same seed), but each host materializes/decodes only its own
+        rows of every batch (``parallel/distributed.process_batch_slice``)
+        and yields a LOCAL batch with a host-local ``n_valid``; the mesh
+        layer reassembles the global array from the per-process shards
+        (``parallel/mesh.shard_batch``)."""
         if hasattr(items, "__getitem__"):
             self._get = items.__getitem__
             self.num_items = num_items if num_items is not None else len(items)
@@ -66,6 +74,17 @@ class Batcher:
         self.drop_last = drop_last
         self.pad_last = pad_last
         self.seed = seed
+        self.host_shard = host_shard
+        if host_shard is not None:
+            idx, cnt = host_shard
+            if batch_size % cnt:
+                raise ValueError(
+                    f"batch size {batch_size} not divisible by "
+                    f"{cnt} processes")
+            if not pad_last and not drop_last:
+                raise ValueError(
+                    "host-sharded batching needs pad_last (every host must "
+                    "contribute equal rows to the trailing batch)")
 
     def __len__(self) -> int:
         if self.drop_last:
@@ -81,8 +100,27 @@ class Batcher:
             chunk = order[start : start + bs]
             if len(chunk) < bs and self.drop_last:
                 return
-            items = [self._get(int(i)) for i in chunk]
-            yield stack_items(items, pad_to=bs if self.pad_last else None)
+            if self.host_shard is None:
+                items = [self._get(int(i)) for i in chunk]
+                yield stack_items(items,
+                                  pad_to=bs if self.pad_last else None)
+                continue
+            from shgvqa_tpu.parallel.distributed import process_batch_slice
+
+            idx, cnt = self.host_shard
+            n = len(chunk)
+            if n < bs:
+                # global padding (repeat the last valid item) BEFORE
+                # slicing: the padded global batch is identical to the
+                # single-process one, so per-row predictions match exactly
+                chunk = np.concatenate(
+                    [chunk, np.full(bs - n, chunk[-1], chunk.dtype)])
+            sl = process_batch_slice(bs, index=idx, count=cnt)
+            items = [self._get(int(i)) for i in chunk[sl]]
+            batch = stack_items(items)
+            per = bs // cnt
+            batch["n_valid"] = int(np.clip(n - idx * per, 0, per))
+            yield batch
 
 
 def device_put_batches(iterator: Iterable[Dict]) -> Iterator[Dict]:

@@ -34,6 +34,28 @@ def answer_vocab() -> Dict[str, int]:
     return {a: i for i, a in enumerate(_ANSWERS)}
 
 
+def rule_answer(template_idx: int, obj_idx: int) -> str:
+    """The LEARNABLE answer rule: a fixed (question template, object) ->
+    answer mapping shared by every split/seed.
+
+    Synthetic runs used to draw answers independently of questions, so
+    valid-split accuracy was chance by construction and BEST-on-hg
+    selection had nothing to select (round-4 verdict item 5).  With a
+    deterministic rule the language stream can learn the mapping on train
+    and generalize to the (same-rule) valid split."""
+    return _ANSWERS[(template_idx * len(_OBJECTS) + obj_idx) % len(_ANSWERS)]
+
+
+def rule_frame_labels(vid_idx: int, fid_idx: int, n_classes: int,
+                      count: int) -> List[int]:
+    """Deterministic per-(video, frame) HG labels in [1, n_classes]: the
+    clip's content IS its labels, identically across splits/seeds, so the
+    visual stream can learn frame->label and the per-epoch valid hg class
+    accuracy climbs above chance."""
+    return [1 + (vid_idx * 131 + fid_idx * 17 + j * 7) % n_classes
+            for j in range(count)]
+
+
 def make_agqa_data(
     n: int = 32,
     n_videos: int = 4,
@@ -58,25 +80,28 @@ def make_agqa_data(
     }
     frame_triplets: Dict[str, dict] = {}
     frame_actions: Dict[str, dict] = {}
-    for vid in videos:
+    for vi, vid in enumerate(videos):
         frame_triplets[vid] = {}
         frame_actions[vid] = {}
-        for fid in frame_ids[vid]:
+        for fi, fid in enumerate(frame_ids[vid]):
+            # label COUNTS vary with the rng (exercises padding/lengths);
+            # label VALUES follow the deterministic rule so valid-split hg
+            # accuracy is learnable (rule_frame_labels)
             n_rel = int(rng.randint(1, max_rel + 1))
             n_act = int(rng.randint(1, max_act + 1))
-            frame_triplets[vid][fid] = [
-                int(rng.randint(1, num_rel_classes + 1)) for _ in range(n_rel)
-            ]
-            frame_actions[vid][fid] = [
-                int(rng.randint(1, num_act_classes + 1)) for _ in range(n_act)
-            ]
+            frame_triplets[vid][fid] = rule_frame_labels(
+                vi, fi, num_rel_classes, n_rel)
+            frame_actions[vid][fid] = rule_frame_labels(
+                vi, fi, num_act_classes, n_act)
 
     datums: List[dict] = []
     for i in range(n):
-        obj = _OBJECTS[int(rng.randint(len(_OBJECTS)))]
-        template = _QTEMPLATES[int(rng.randint(len(_QTEMPLATES)))]
+        obj_idx = int(rng.randint(len(_OBJECTS)))
+        obj = _OBJECTS[obj_idx]
+        template_idx = int(rng.randint(len(_QTEMPLATES)))
+        template = _QTEMPLATES[template_idx]
         question = template.replace("{}", obj)
-        answer = _ANSWERS[int(rng.randint(len(_ANSWERS)))]
+        answer = rule_answer(template_idx, obj_idx)
         ans_type = "binary" if answer in ("yes", "no", "before", "after") else "open"
         n_tags = int(rng.randint(1, 3))
         tags = [
@@ -128,19 +153,20 @@ def make_star_data(
     for i in range(n):
         qtype = qtypes[i % 4]
         vid = videos[i % n_videos]
-        obj = _OBJECTS[int(rng.randint(len(_OBJECTS)))]
+        obj_idx = int(rng.randint(len(_OBJECTS)))
+        obj = _OBJECTS[obj_idx]
         situations = {}
         for fi in range(frames_per_video):
             fid = f"{fi:06d}"
+            # counts random (padding coverage), values rule-determined so
+            # the valid split is learnable (see rule_frame_labels)
             n_rel = int(rng.randint(1, max_rel + 1))
             n_act = int(rng.randint(1, max_act + 1))
             situations[fid] = {
-                "rel_labels": [
-                    int(rng.randint(1, num_rel_classes + 1)) for _ in range(n_rel)
-                ],
-                "actions": [
-                    int(rng.randint(1, num_act_classes + 1)) for _ in range(n_act)
-                ],
+                "rel_labels": rule_frame_labels(
+                    i % n_videos, fi, num_rel_classes, n_rel),
+                "actions": rule_frame_labels(
+                    i % n_videos, fi, num_act_classes, n_act),
             }
         choices = {
             str(c): f"{_ANSWERS[int(rng.randint(len(_ANSWERS)))]} the {obj}"
@@ -151,7 +177,9 @@ def make_star_data(
             "video_id": vid,
             "question": f"what happened to the {obj}?",
             "choices": choices,
-            "answer_choice": int(rng.randint(4)),
+            # learnable: the answer choice is a fixed function of the
+            # question's object (rule_answer analog for 4-way choices)
+            "answer_choice": obj_idx % 4,
             "situations": situations,
             "start": 0.0,
             "end": float(frames_per_video),

@@ -28,7 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_INF = jnp.float32(1e9)
+# numpy scalar, NOT jnp: a module-level jnp constant initializes the XLA
+# backend at import, which breaks jax.distributed.initialize() in
+# multi-host drivers (it must run before any backend use)
+_INF = np.float32(1e9)
 
 
 def hungarian_square(cost: jnp.ndarray) -> jnp.ndarray:

@@ -45,23 +45,55 @@ def maybe_initialize_distributed(
     return True
 
 
-def process_batch_slice(global_batch_size: int) -> slice:
+def process_batch_slice(global_batch_size: int,
+                        index: Optional[int] = None,
+                        count: Optional[int] = None) -> slice:
     """Each host feeds its shard of the global batch; with B hosts and batch
-    G, host i owns rows [i*G/B, (i+1)*G/B).
+    G, host i owns rows [i*G/B, (i+1)*G/B).  The product Batcher materializes
+    ONLY these rows per host (``data/pipeline.py``).
 
     Raises on non-divisible sizes instead of silently truncating -- pjit
     global-array construction needs equal per-host shards; pad the global
     batch first (``pad_to_multiple``)."""
-    import jax
+    if count is None or index is None:
+        import jax
 
-    n = jax.process_count()
-    i = jax.process_index()
-    if global_batch_size % n != 0:
+        count = jax.process_count() if count is None else count
+        index = jax.process_index() if index is None else index
+    if global_batch_size % count != 0:
         raise ValueError(
             f"global batch {global_batch_size} not divisible by "
-            f"{n} processes; pad with pad_to_multiple() first")
-    per = global_batch_size // n
-    return slice(i * per, (i + 1) * per)
+            f"{count} processes; pad with pad_to_multiple() first")
+    per = global_batch_size // count
+    return slice(index * per, (index + 1) * per)
+
+
+def allgather_object(obj):
+    """All-gather a small JSON-serializable object across processes; every
+    process returns the list ``[obj_from_process_0, ..., obj_from_P-1]``.
+
+    Used to merge per-host prediction maps after a multi-host eval pass
+    (each host scores only the batch rows it fed; the evaluators need the
+    full split).  Rides jax's own collectives — no extra transport."""
+    import json as _json
+
+    import jax
+    import numpy as _np
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    blob = _np.frombuffer(_json.dumps(obj).encode("utf-8"), _np.uint8)
+    sizes = _np.asarray(multihost_utils.process_allgather(
+        _np.asarray([blob.size], _np.int32))).reshape(-1)
+    padded = _np.zeros((int(sizes.max()),), _np.uint8)
+    padded[:blob.size] = blob
+    datas = _np.asarray(multihost_utils.process_allgather(padded))
+    return [
+        _json.loads(bytes(datas[i, :int(sizes[i])]).decode("utf-8"))
+        for i in range(datas.shape[0])
+    ]
 
 
 def pad_to_multiple(batch_size: int, n: Optional[int] = None) -> int:

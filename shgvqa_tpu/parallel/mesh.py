@@ -100,6 +100,39 @@ def partition_params(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_unflatten(treedef, shardings)
 
 
+def partition_opt_state(opt_state: Any, params: Any, mesh: Mesh) -> Any:
+    """Sharding pytree for an optimizer state: moment leaves follow their
+    param's TP sharding, everything else (step counters, empty states)
+    replicated.
+
+    Moments live inside wrapper states (chain/multi_transform/BertAdamState)
+    whose leaf keypaths END with the param's own path — match by longest
+    path suffix with an exact shape check.  Replication is the fallback and
+    is always correct (XLA reshards as needed); suffix matching only
+    recovers the memory-optimal placement the pre-restore device template
+    used to give (advisor round-4 medium finding)."""
+    p_flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    s_leaves = jax.tree_util.tree_leaves(partition_params(params, mesh))
+    table = [
+        ("/" + "/".join(_key_str(k) for k in kp),
+         tuple(getattr(leaf, "shape", ())), sh)
+        for (kp, leaf), sh in zip(p_flat, s_leaves)
+    ]
+    rep = replicated_sharding(mesh)
+    o_flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state)
+    out = []
+    for kp, leaf in o_flat:
+        path = "/" + "/".join(_key_str(k) for k in kp)
+        shape = tuple(getattr(leaf, "shape", ()))
+        best = None
+        for ppath, pshape, sh in table:
+            if shape == pshape and path.endswith(ppath):
+                if best is None or len(ppath) > len(best[0]):
+                    best = (ppath, sh)
+        out.append(best[1] if best is not None else rep)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def _key_str(k) -> str:
     if hasattr(k, "key"):
         return str(k.key)
@@ -112,15 +145,48 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh,
                 axis: int = 0) -> Dict[str, Any]:
     """device_put every array batch-sharded along 'data'.  ``axis`` is the
     batch dimension (1 for stacked multi-step chunks whose leading axis is
-    the step index)."""
+    the step index).
+
+    Multi-process: the input arrays are this host's LOCAL rows (the Batcher
+    materializes only its ``process_batch_slice``), and the global sharded
+    array is assembled with ``jax.make_array_from_process_local_data`` —
+    no host ever holds the full global batch.  Arrays that are already
+    global jax.Arrays (e.g. re-sharding a stacked multi-step chunk) go
+    through plain device_put, which reshards in place."""
     bs = NamedSharding(mesh, P(*([None] * axis + [mesh.axis_names[0]])))
+    multiproc = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if hasattr(v, "shape") and getattr(v, "ndim", 0) >= axis + 1:
-            out[k] = jax.device_put(v, bs)
+            if multiproc and not (
+                    isinstance(v, jax.Array)
+                    and not v.is_fully_addressable):
+                local = np.asarray(v)
+                gshape = list(local.shape)
+                gshape[axis] *= jax.process_count()
+                out[k] = jax.make_array_from_process_local_data(
+                    bs, local, tuple(gshape))
+            else:
+                out[k] = jax.device_put(v, bs)
         else:
             out[k] = v
     return out
+
+
+def local_rows(garr) -> np.ndarray:
+    """This host's rows of a batch-sharded global array, in global row
+    order (deduped across model-axis replicas).  Multi-host eval scoring:
+    each host maps its own rows' predictions to its own question ids, then
+    the per-host maps are merged (``parallel/distributed.allgather_object``)."""
+    if getattr(garr, "is_fully_addressable", True) or getattr(
+            garr, "is_fully_replicated", False):
+        return np.asarray(garr)
+    pieces = {}
+    for s in garr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in pieces:
+            pieces[start] = np.asarray(s.data)
+    return np.concatenate([pieces[k] for k in sorted(pieces)], axis=0)
 
 
 def shard_state(params: Any, opt_state: Any, mesh: Mesh

@@ -31,6 +31,12 @@ class CheckpointManager:
         return os.path.join(self.output_dir, name)
 
     def save(self, name: str, state: Any) -> None:
+        # device_get first: the state is replicated under data parallelism
+        # (flat state / dp params), so every process holds the full host
+        # value.  Multi-process: EVERY process must enter orbax's save —
+        # it carries its own cross-process barriers
+        # (Checkpointer:save_start), and its type handlers write host/numpy
+        # data from the primary host only, so there is exactly one writer.
         state = jax.device_get(state)
         self._ckptr.save(self.path(name), state, force=True)
 

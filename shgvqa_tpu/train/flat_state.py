@@ -46,6 +46,19 @@ from shgvqa_tpu.train.optimizer import SCHEDULES
 
 LANES = 256
 
+# checkpoint-persisted layout identifiers (int-coded for orbax): restores
+# compare the stored layout to the live spec EXPLICITLY; array-length
+# inference survives only as the fallback for pre-round-5 checkpoints
+LAYOUT_CODES = {"1d": 0, "2d": 1, "1d_aligned": 2}
+_CODE_LAYOUTS = {v: k for k, v in LAYOUT_CODES.items()}
+
+
+def layout_from_code(code) -> Optional[str]:
+    """Inverse of LAYOUT_CODES; None for absent/unknown (old checkpoints)."""
+    if code is None:
+        return None
+    return _CODE_LAYOUTS.get(int(code))
+
 
 class FlatTrainState(NamedTuple):
     flat: jnp.ndarray        # (R, LANES) f32 — padded ravel of params
@@ -175,23 +188,38 @@ def shard_flat_state(state: FlatTrainState, mesh) -> FlatTrainState:
     return FlatTrainState(*(jax.device_put(x, rep) for x in state))
 
 
-def repack_like(arr: jnp.ndarray, spec: FlatSpec) -> jnp.ndarray:
+def repack_like(arr: jnp.ndarray, spec: FlatSpec,
+                layout: Optional[str] = None) -> jnp.ndarray:
     """Repack a stored flat-state array into spec.layout — lets a checkpoint
     written under one layout resume under the other.  "2d" and "1d" share
     the ravel_pytree element order (tail padding only) and convert freely;
     "1d_aligned" has per-leaf gap padding, so only a same-layout restore is
-    accepted (the orders differ element-wise)."""
+    accepted (the orders differ element-wise).
+
+    ``layout`` is the layout the checkpoint RECORDS it was written under
+    (state_dict's layout_code); when given, cross-family repacks are
+    rejected by name — array-length inference (which a coincidental size
+    match could fool) is only the fallback for old checkpoints that carry
+    no layout field."""
     flat = jnp.asarray(arr).reshape(-1)
+    if layout is not None and (
+            (layout == "1d_aligned") != (spec.layout == "1d_aligned")):
+        raise ValueError(
+            f"flat checkpoint records layout {layout!r}; it cannot be "
+            f"repacked into {spec.layout!r} (different element order) — "
+            "restore with SHGVQA_FLAT_LAYOUT matching the checkpoint, or "
+            "drop the optimizer moments")
     if spec.layout == "1d_aligned":
         if flat.shape[0] != spec.n:
             raise ValueError(
-                "flat checkpoint was written under the ravel_pytree layout; "
-                "it cannot be repacked into 1d_aligned (different element "
-                "order) — restore with SHGVQA_FLAT_LAYOUT matching the "
-                "checkpoint, or drop the optimizer moments")
+                "flat checkpoint was written under the ravel_pytree layout "
+                "or a different model size; it cannot be repacked into "
+                "1d_aligned (different element order) — restore with "
+                "SHGVQA_FLAT_LAYOUT matching the checkpoint, or drop the "
+                "optimizer moments")
         return flat
     tail_pad = -(-spec.n // LANES) * LANES
-    if flat.shape[0] not in (spec.n, tail_pad):
+    if layout is None and flat.shape[0] not in (spec.n, tail_pad):
         raise ValueError(
             "flat checkpoint appears to use the 1d_aligned layout; it "
             "cannot be repacked into the ravel_pytree layouts — restore "

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from shgvqa_tpu.configs.config import Config
-from shgvqa_tpu.models.shgvqa import ShgVqaModel
+from shgvqa_tpu.models.shgvqa import ShgVqaModel, VideoShgVqaModel
 from shgvqa_tpu.train.checkpoint import CheckpointManager
 from shgvqa_tpu.train.optimizer import make_optimizer
 from shgvqa_tpu.train.step import compute_losses, make_eval_step
@@ -86,10 +86,16 @@ class Trainer:
         self.opt_state = None
         self._flat_state = None
         self._flat_spec = None
+        # two-launch frozen-trunk training (see _two_launch_active)
+        self._use_two_launch = False
+        self._trunk_fn = None
+        self._trunk_multi_fn = None
+        self._trunk_vars = None
         self.step = 0
         self.ckpt = CheckpointManager(cfg.output)
         self._train_step = None
         self._eval_step = None
+        self._eval_step_hg = None
         self.mesh = mesh
         self.shardings = shardings
         from shgvqa_tpu.kernels import attention as pallas_attn
@@ -139,6 +145,7 @@ class Trainer:
                 self._flat_state = shard_flat_state(self._flat_state,
                                                     self.mesh)
             self.opt_state = None
+            self._trunk_vars = None   # trunk launch re-materializes
         else:
             self._place_params()
             self.opt_state = self.tx.init(self.params["params"])
@@ -163,6 +170,58 @@ class Trainer:
 
             self.params = flat_to_variables(self._flat_state,
                                             self._flat_spec)
+
+    # -- two-launch frozen-trunk training ---------------------------------
+    def _two_launch_active(self) -> bool:
+        """Run the frozen video trunk as its OWN jitted inference program
+        feeding visual_feats into the flat train step.
+
+        Round-5 on-chip A/B (tools/bench_train.py, b64 flagship, same day):
+        the gradient-free trunk schedules ~2x slower INSIDE the
+        backward-bearing program, and int8 only pays off outside it —
+        two-launch int8 x4 = 170.3 clips/s vs 152.5 for the best
+        single-launch bf16 (x8).  Default ON when the trunk is int8
+        (--quantBackbone --freezeBackbone); SHGVQA_TWO_LAUNCH=1 forces it
+        for bf16 frozen trunks, =0 kills it.  Numerics are identical to
+        the single-launch step (same augment/dropout key derivation) —
+        locked by tests/test_train_loop.py."""
+        env = os.environ.get("SHGVQA_TWO_LAUNCH", "auto")
+        if env == "0" or not self.flat_mode:
+            return False
+        video = (isinstance(self.model, VideoShgVqaModel)
+                 and self.cfg.task != "q"
+                 and not self.cfg.encoder.patches)
+        if not (video and self.cfg.freeze_backbone):
+            return False
+        return env == "1" or bool(self.cfg.quant_backbone)
+
+    def _get_trunk_vars(self):
+        """Backbone variables for the trunk launch, materialized once (the
+        trunk is frozen: its flat slices and aux collections never change;
+        invalidated by _reset_opt on any load/surgery)."""
+        if self._trunk_vars is None:
+            from shgvqa_tpu.train.flat_state import flat_to_variables
+
+            full = flat_to_variables(self._flat_state, self._flat_spec)
+            self._trunk_vars = {
+                "params": {"backbone": full["params"]["backbone"]},
+                **{k: v for k, v in full.items() if k != "params"},
+            }
+        return self._trunk_vars
+
+    def _trunk_batch(self, batch, step_rng):
+        """frames -> visual_feats via the separate trunk program; no-op
+        when two-launch is off.  The augment key matches the flat body's
+        own split (r_drop, r_aug = split(rng)) so pixels are IDENTICAL to
+        the single-launch step."""
+        if not self._use_two_launch or "frames" not in batch:
+            return batch
+        r_aug = jax.random.split(step_rng)[1]
+        feats = self._trunk_fn(self._get_trunk_vars(), batch["frames"],
+                               r_aug)
+        batch = {k: v for k, v in batch.items() if k != "frames"}
+        batch["visual_feats"] = feats
+        return batch
 
     def _build_steps(self):
         cfg, model, tx = self.cfg, self.model, self.tx
@@ -191,6 +250,30 @@ class Trainer:
                 if cfg.steps_per_loop > 1 else None)
             self._train_step = True   # sentinel: steps are built
             self._eval_step = jax.jit(make_eval_step(cfg, model))
+            self._eval_step_hg = jax.jit(
+                make_eval_step(cfg, model, with_hg_metrics=True))
+
+            self._use_two_launch = self._two_launch_active()
+            if self._use_two_launch:
+                def trunk(variables, frames, r_aug):
+                    return model.apply(
+                        variables, {"frames": frames}, False,
+                        rngs={"augment": r_aug}, method="encode_frames")
+
+                # multi-step chunks: ONE launch scans k sequential trunk
+                # applies (per-step activation peak, k-step dispatch
+                # amortization); each step's augment key is derived exactly
+                # as the flat body would (split(rng)[1])
+                def trunk_multi(variables, frames_k, rngs):
+                    def body(c, inp):
+                        f, k = inp
+                        return c, trunk(variables, f,
+                                        jax.random.split(k)[1])
+
+                    return jax.lax.scan(body, None, (frames_k, rngs))[1]
+
+                self._trunk_fn = jax.jit(trunk)
+                self._trunk_multi_fn = jax.jit(trunk_multi)
             return
 
         def loss_fn(params_col, aux_cols, batch, rng):
@@ -217,6 +300,8 @@ class Trainer:
         donate = (0, 1) if cfg.donate_state else ()
         self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._eval_step = jax.jit(make_eval_step(cfg, model))
+        self._eval_step_hg = jax.jit(
+            make_eval_step(cfg, model, with_hg_metrics=True))
 
     # -- training ---------------------------------------------------------
     def train(
@@ -272,6 +357,12 @@ class Trainer:
 
                         stacked = shard_batch(stacked, self.mesh, axis=1)
                     rngs = jnp.stack(chunk_rngs)
+                    if self._use_two_launch and "frames" in stacked:
+                        feats_k = self._trunk_multi_fn(
+                            self._get_trunk_vars(), stacked["frames"], rngs)
+                        stacked = {k: v for k, v in stacked.items()
+                                   if k != "frames"}
+                        stacked["visual_feats"] = feats_k
                     self._flat_state, metrics = self._flat_multi_step(
                         self._flat_state, stacked, rngs)
                     for i in range(len(chunk)):
@@ -296,6 +387,7 @@ class Trainer:
                             chunk, chunk_rngs = [], []
                         continue
                     if self.flat_mode:
+                        batch = self._trunk_batch(batch, step_rng)
                         self._flat_state, metrics = self._flat_train_step(
                             self._flat_state, batch, step_rng)
                     else:
@@ -312,6 +404,7 @@ class Trainer:
                         from shgvqa_tpu.parallel.mesh import shard_batch
 
                         batch = shard_batch(batch, self.mesh)
+                    batch = self._trunk_batch(batch, step_rng)
                     self._flat_state, metrics = self._flat_train_step(
                         self._flat_state, batch, step_rng)
                     log_step(self.step, metrics)
@@ -348,9 +441,13 @@ class Trainer:
         return {"best": best, "history": history, "steps": self.step}
 
     # -- evaluation -------------------------------------------------------
-    def predict(self, batches: Iterable[Dict[str, np.ndarray]]
-                ) -> Tuple[Dict[str, int], Dict[str, int]]:
-        """Returns (quesid2ans from logit, quesid2ans from hg_logit).
+    def predict(self, batches: Iterable[Dict[str, np.ndarray]],
+                return_hg_metrics: bool = False):
+        """Returns (quesid2ans from logit, quesid2ans from hg_logit); with
+        ``return_hg_metrics`` additionally the Hungarian-matched rel/act
+        class accuracy computed in the SAME forward pass (or None when the
+        batches carry no HG labels) — one forward per valid epoch, the
+        reference's in-predict class accuracy (``agqaHGQA.py:548-559``).
 
         Dispatches every batch asynchronously and fetches predictions in one
         pass at the end: on remote-relay TPU backends a host fetch costs
@@ -358,6 +455,8 @@ class Trainer:
         dominate the eval loop."""
         if self._eval_step is None:
             self._build_steps()
+        eval_fn = (self._eval_step_hg if return_hg_metrics
+                   else self._eval_step)
         self._place_params()
         pending = []
         for batch in batches:
@@ -368,13 +467,49 @@ class Trainer:
                 from shgvqa_tpu.parallel.mesh import shard_batch
 
                 batch = shard_batch(batch, self.mesh)
-            preds = self._eval_step(self.params, batch)
+            preds = eval_fn(self.params, batch)
             pending.append((ques_ids, n_valid, preds))
 
         quesid2ans: Dict[str, int] = {}
         hg_quesid2ans: Dict[str, int] = {}
         if not pending:
+            if return_hg_metrics:
+                return quesid2ans, hg_quesid2ans, None
             return quesid2ans, hg_quesid2ans
+        hg_acc = None
+        if return_hg_metrics and "rel_class_acc" in pending[0][2]:
+            # per-batch scalars, mean over batches — identical semantics to
+            # the retired second-pass evaluate_hg_accuracy (same batches,
+            # padding rows included); single fetch for the whole split.
+            # (Scalars are replicated, so this also works multi-host.)
+            stacked = np.asarray(jnp.stack(
+                [jnp.stack((p["rel_class_acc"], p["act_class_acc"]))
+                 for _, _, p in pending]))
+            hg_acc = {"rel_class_acc": float(stacked[:, 0].mean()),
+                      "act_class_acc": float(stacked[:, 1].mean())}
+        if jax.process_count() > 1:
+            # each host scores the rows IT fed (its addressable shards of
+            # the batch-sharded outputs line up with its local ques_ids +
+            # host-local n_valid from the Batcher), then the per-host maps
+            # are merged so every process returns the full split
+            from shgvqa_tpu.parallel.distributed import allgather_object
+            from shgvqa_tpu.parallel.mesh import local_rows
+
+            for ques_ids, n_valid, preds in pending:
+                la = local_rows(preds["answer"])
+                lh = local_rows(preds.get("hg_answer", preds["answer"]))
+                for i, qid in enumerate(ques_ids[:n_valid]):
+                    quesid2ans[qid] = int(la[i])
+                    hg_quesid2ans[qid] = int(lh[i])
+            merged: Dict[str, int] = {}
+            merged_hg: Dict[str, int] = {}
+            for part in allgather_object(
+                    [quesid2ans, hg_quesid2ans]):
+                merged.update(part[0])
+                merged_hg.update(part[1])
+            if return_hg_metrics:
+                return merged, merged_hg, hg_acc
+            return merged, merged_hg
         all_ans = np.asarray(jnp.concatenate(
             [p["answer"] for _, _, p in pending]))
         all_hg = np.asarray(jnp.concatenate(
@@ -386,13 +521,20 @@ class Trainer:
                 quesid2ans[qid] = int(all_ans[offset + i])
                 hg_quesid2ans[qid] = int(all_hg[offset + i])
             offset += bs
+        if return_hg_metrics:
+            return quesid2ans, hg_quesid2ans, hg_acc
         return quesid2ans, hg_quesid2ans
 
     def evaluate_hg_accuracy(self, batches: Iterable[Dict[str, np.ndarray]]
                              ) -> Dict[str, float]:
         """Hungarian-matched rel/act top-1 accuracy over a split — the
         reference logs this during predict (star.py:549-550,
-        agqaHGQA.py:550-559) as a probe of the HG decoder."""
+        agqaHGQA.py:550-559) as a probe of the HG decoder.
+
+        Standalone second-pass variant: the product eval path gets the
+        same numbers from ``predict(..., return_hg_metrics=True)`` in one
+        forward (locked equal by tests/test_train_loop.py); this remains
+        for scoring a split when no predictions are wanted."""
         import jax.numpy as jnp
 
         from shgvqa_tpu.losses.set_prediction import (
@@ -443,10 +585,19 @@ class Trainer:
     def state_dict(self):
         if self.flat_mode:
             st = self._flat_state
+            # layout recorded as an int code (orbax-friendly): restores
+            # compare layouts EXPLICITLY instead of inferring from array
+            # length (flat_state.LAYOUT_CODES; advisor round-4 finding —
+            # a coincidental length match must not scramble the moments)
+            from shgvqa_tpu.train.flat_state import LAYOUT_CODES
+
             return {
                 "params": self.params,
-                "opt_state": {"m": st.m, "v": st.v} if st is not None
-                else None,
+                "opt_state": {
+                    "m": st.m, "v": st.v,
+                    "layout_code": np.int32(
+                        LAYOUT_CODES[self._flat_spec.layout]),
+                } if st is not None else None,
                 "step": self.step,
             }
         return {
@@ -669,42 +820,64 @@ class Trainer:
             # a reference torch snapshot, not one of our orbax checkpoints
             self.load_reference(name_or_path)
             return
-        # Restore against a HOST-side template and free the init-time
-        # device state first: the old path held the init params + flat
-        # state on device while orbax materialized a full second copy,
-        # doubling the load-path peak (observed as device OOM resuming a
-        # flagship checkpoint on a busy chip).
+        # Restore against a HOST-side template: orbax materializes the
+        # checkpoint as host numpy, so no device memory is touched during
+        # the restore itself; the old init-time device state is freed only
+        # AFTER a successful restore, right before re-placement — the
+        # load-path device peak stays halved (one copy on device at a time)
+        # while a FAILED restore leaves the live training state intact
+        # (advisor round-4 finding: nulling first clobbered the Trainer).
         def host_zero(x):
             if hasattr(x, "shape") and hasattr(x, "dtype"):
                 return np.zeros(jnp.shape(x), np.dtype(x.dtype))
             return x
 
         template = jax.tree_util.tree_map(host_zero, self.state_dict())
-        self.params = None
-        self._flat_state = None
-        self.opt_state = None
         try:
             state = self.ckpt.restore(name_or_path, template=template)
         except Exception:
             if not self.flat_mode:
                 raise
             # shape-mismatched template — the checkpoint was written under
-            # the other flat layout ((N/256,256) vs (N,)); raw-restore and
-            # repack below
+            # another flat layout (or without the layout_code field);
+            # raw-restore and repack below
             state = self.ckpt.restore(name_or_path)
+        self.params = None
+        self._flat_state = None
+        self.opt_state = None
         self.params = state["params"]
         if self.flat_mode:
             self._reset_opt()   # rebuilds flat from restored params
             if state.get("opt_state") is not None:
                 # repack: the checkpoint may have been written under the
                 # other flat layout ((N/256,256) vs (N,))
-                from shgvqa_tpu.train.flat_state import repack_like
+                from shgvqa_tpu.train.flat_state import (
+                    layout_from_code,
+                    repack_like,
+                )
 
+                stored = layout_from_code(
+                    state["opt_state"].get("layout_code"))
                 self._flat_state = self._flat_state._replace(
-                    m=repack_like(state["opt_state"]["m"], self._flat_spec),
-                    v=repack_like(state["opt_state"]["v"], self._flat_spec),
+                    m=repack_like(state["opt_state"]["m"], self._flat_spec,
+                                  layout=stored),
+                    v=repack_like(state["opt_state"]["v"], self._flat_spec,
+                                  layout=stored),
                     step=jnp.asarray(int(state["step"]), jnp.int32))
         else:
             self._place_params()
-            self.opt_state = state["opt_state"]
+            opt_state = state["opt_state"]
+            if self.mesh is not None and opt_state is not None:
+                # re-place the host-restored moments onto the mesh: under
+                # TP they must follow their params' PartitionSpecs (the
+                # pre-round-4 device template gave this implicitly), else
+                # the first step replicates them per device (advisor
+                # round-4 medium finding)
+                from shgvqa_tpu.parallel.mesh import partition_opt_state
+
+                shardings = partition_opt_state(
+                    opt_state, self.params["params"], self.mesh)
+                opt_state = jax.tree_util.tree_map(
+                    jax.device_put, opt_state, shardings)
+            self.opt_state = opt_state
         self.step = int(state["step"])

@@ -159,8 +159,20 @@ def make_train_step(cfg: Config, model, tx):
     return train_step
 
 
-def make_eval_step(cfg: Config, model):
-    """Returns eval_step(params, batch) -> outputs dict with answer argmaxes."""
+def make_eval_step(cfg: Config, model, with_hg_metrics: bool = False):
+    """Returns eval_step(params, batch) -> outputs dict with answer argmaxes.
+
+    With ``with_hg_metrics`` and a batch carrying HG labels (valid split of
+    an hg task), the Hungarian-matched rel/act class accuracy is computed
+    IN the same forward — the reference computes class accuracy inside its
+    predict pass (``agqaHGQA.py:548-559``), and a second full-split forward
+    just for the metric doubled our per-epoch eval wall time (round-4
+    verdict item 2).  Kept off for plain prediction passes: test-protocol
+    items carry DUMMY zero label grids (data/agqa.py test_mode), and the
+    in-graph matcher would burn cycles scoring garbage."""
+    want_hg_acc = (with_hg_metrics
+                   and cfg.task in ("hgqa", "vhga", "hgvqa")
+                   and not cfg.gt_hg)
 
     def eval_step(params, batch):
         outputs = model.apply(params, batch, deterministic=True)
@@ -170,6 +182,21 @@ def make_eval_step(cfg: Config, model):
         if "rel_preds" in outputs:
             preds["rel_top1"] = jnp.argmax(outputs["rel_preds"], axis=-1)
             preds["act_top1"] = jnp.argmax(outputs["act_preds"], axis=-1)
+        if want_hg_acc and "rel_preds" in outputs and "rel_labels" in batch:
+            rel_w = empty_weight(cfg.num_rel_classes + 1, cfg.eos_coef)
+            act_w = empty_weight(cfg.num_act_classes + 1, cfg.eos_coef)
+            rel = hungarian_set_loss(
+                outputs["rel_preds"], batch["rel_labels"],
+                batch["rel_lengths"], rel_w,
+                per_frame=cfg.loss_hg_per_frame,
+                num_situations=cfg.data.num_situations)
+            act = hungarian_set_loss(
+                outputs["act_preds"], batch["act_labels"],
+                batch["act_lengths"], act_w,
+                per_frame=cfg.loss_hg_per_frame,
+                num_situations=cfg.data.num_situations)
+            preds["rel_class_acc"] = 100.0 - rel["class_error"]
+            preds["act_class_acc"] = 100.0 - act["class_error"]
         return preds
 
     return eval_step

@@ -29,11 +29,23 @@ def test_star_hgqa_cli_end_to_end(tmp_path):
 
     _run(main, ["--taskHGQA", "--train", "train", "--valid", "valid"],
          tmp_path)
-    # per-epoch eval ran and checkpoints were written
+    # per-epoch eval ran and checkpoints were written.  CURRENT/LAST are
+    # unconditional; BEST appears only when an epoch IMPROVES the key score
+    # (agqaHGQA.py:405-419) — a 1-epoch near-init run on the rule-based
+    # synthetic answers can legitimately score 0.0, so only require BEST
+    # when the log shows a positive hg score.  (BEST machinery itself is
+    # locked by test_train_loop.py's monotone-evaluate run.)
     logged = (tmp_path / "log.log").read_text()
     assert "Epoch 0" in logged
+    assert "valid rel class acc" in logged   # single-pass eval metrics
     snaps = {p.name for p in tmp_path.iterdir()}
-    assert any(n.startswith("BEST") for n in snaps), snaps
+    assert any(n.startswith("CURRENT") for n in snaps), snaps
+    assert any(n.startswith("LAST") for n in snaps), snaps
+    import re
+
+    hg_scores = [float(m) for m in re.findall(r" hg (\d+\.\d+)", logged)]
+    if any(s > 0 for s in hg_scores):
+        assert any(n.startswith("BEST") for n in snaps), snaps
 
 
 @pytest.mark.slow
