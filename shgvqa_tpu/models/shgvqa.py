@@ -290,6 +290,19 @@ class VideoShgVqaModel(nn.Module):
     def __call__(self, batch: Dict[str, jnp.ndarray],
                  deterministic: bool = True,
                  output_attentions: bool = False) -> Dict[str, jnp.ndarray]:
+        if "frames" in batch and self.cfg.task != "q":
+            feats = self.encode_frames(batch, deterministic)
+            batch = {k: v for k, v in batch.items() if k != "frames"}
+            batch["visual_feats"] = feats
+        return self.head(batch, deterministic, output_attentions)
+
+    def encode_frames(self, batch: Dict[str, jnp.ndarray],
+                      deterministic: bool = True) -> jnp.ndarray:
+        """frames -> visual features: on-device convert/augment/normalize +
+        the (frozen) trunk.  Public as an apply ``method`` so the Trainer's
+        two-launch mode can run the gradient-free trunk as its OWN jitted
+        program (round-5 A/B: the frozen trunk schedules ~2x slower inside
+        the backward-bearing program — tools/bench_train.py two-launch)."""
         from shgvqa_tpu.data.transforms import (
             NORM_STATS,
             aug_mix_batch,
@@ -297,93 +310,87 @@ class VideoShgVqaModel(nn.Module):
             rand_augment_batch,
         )
 
-        if "frames" in batch and self.cfg.task != "q":
-            frames = batch["frames"]
-            aug = self.cfg.data.augment_type
-            aug_on = (not deterministic
-                      and aug in ("rand_aug", "rand_aug_slowfast", "aug_mix"))
-            mean, std = NORM_STATS.get(self.cfg.backbone,
-                                       NORM_STATS["slow_r50"])
-            from functools import partial as _partial
+        frames = batch["frames"]
+        aug = self.cfg.data.augment_type
+        aug_on = (not deterministic
+                  and aug in ("rand_aug", "rand_aug_slowfast", "aug_mix"))
+        mean, std = NORM_STATS.get(self.cfg.backbone,
+                                   NORM_STATS["slow_r50"])
+        from functools import partial as _partial
 
-            if aug == "aug_mix":
-                aug_fn = _partial(
-                    aug_mix_batch, subbatch=self.cfg.data.aug_subbatch,
-                    fold_chains=self.cfg.data.aug_fold_chains)
+        if aug == "aug_mix":
+            aug_fn = _partial(
+                aug_mix_batch, subbatch=self.cfg.data.aug_subbatch,
+                fold_chains=self.cfg.data.aug_fold_chains)
+        else:
+            aug_fn = _partial(
+                rand_augment_batch,
+                subbatch=self.cfg.data.aug_subbatch)
+
+        # frames pipeline dtype: bf16 halves the HBM traffic of every
+        # full-frames pass (convert/augment/normalize) — see
+        # DataConfig.aug_dtype
+        pix_dt = _dt(self.cfg.data.aug_dtype or self.cfg.compute_dtype)
+
+        def preprocess(x, keys=None):
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                x = x.astype(pix_dt) / jnp.asarray(255.0, pix_dt)
             else:
-                aug_fn = _partial(
-                    rand_augment_batch,
-                    subbatch=self.cfg.data.aug_subbatch)
+                x = x.astype(pix_dt)
+            if aug_on:
+                # batched formulation: vmap(rand_augment)'s switch
+                # lowering runs all 14 ops per layer (6.6s/batch
+                # on-chip at b32); the batched version samples
+                # identically but executes each op class once per
+                # layer (see data/transforms.py)
+                x = aug_fn(x, keys)
+            return normalize_clip(x, mean, std)
 
-            # frames pipeline dtype: bf16 halves the HBM traffic of every
-            # full-frames pass (convert/augment/normalize) — see
-            # DataConfig.aug_dtype
-            pix_dt = _dt(self.cfg.data.aug_dtype or self.cfg.compute_dtype)
+        # per-clip keys: every augment op draws independently per clip,
+        # so chunked execution below is sample-identical
+        keys = (jax.random.split(self.make_rng("augment"),
+                                 frames.shape[0]) if aug_on else None)
+        if self.cfg.encoder.patches:
+            from shgvqa_tpu.models.visual import patchify_clip
 
-            def preprocess(x, keys=None):
-                if jnp.issubdtype(x.dtype, jnp.integer):
-                    x = x.astype(pix_dt) / jnp.asarray(255.0, pix_dt)
-                else:
-                    x = x.astype(pix_dt)
-                if aug_on:
-                    # batched formulation: vmap(rand_augment)'s switch
-                    # lowering runs all 14 ops per layer (6.6s/batch
-                    # on-chip at b32); the batched version samples
-                    # identically but executes each op class once per
-                    # layer (see data/transforms.py)
-                    x = aug_fn(x, keys)
-                return normalize_clip(x, mean, std)
-
-            # per-clip keys: every augment op draws independently per clip,
-            # so chunked execution below is sample-identical
-            keys = (jax.random.split(self.make_rng("augment"),
-                                     frames.shape[0]) if aug_on else None)
-            if self.cfg.encoder.patches:
-                from shgvqa_tpu.models.visual import patchify_clip
-
-                enc = self.cfg.encoder
-                feats = patchify_clip(
-                    preprocess(frames, keys), enc.visual_t, enc.visual_hw)
-                batch = {k: v for k, v in batch.items() if k != "frames"}
-                batch["visual_feats"] = feats
-                return self.head(batch, deterministic, output_attentions)
-            nc = self.cfg.backbone_chunks
-            # a quant calibration pass (mutable quant_stats, e.g. init)
-            # must not run under nn.scan: the scale variables are broadcast
-            # there and flax forbids mutating broadcast collections
-            calibrating = (bool(self.cfg.quant_backbone)
-                           and self.is_mutable_collection("quant_stats"))
-            if (nc > 1 and self.cfg.freeze_backbone and not calibrating
-                    and frames.shape[0] % nc == 0):
-                # Sequential micro-chunks bound the preprocessing + frozen
-                # trunk's activation peak (weights broadcast, batch_stats
-                # read-only eval-mode BN).  The WHOLE frames path runs
-                # per-chunk: chunking only the trunk still materializes
-                # full-batch (B,T,224,224,3) convert/augment/normalize
-                # tensors (9.6 GB f32 at b128), which was the actual spill.
-                csz = frames.shape[0] // nc
-                fx = frames.reshape((nc, csz) + frames.shape[1:])
-                if aug_on:
-                    kx = keys.reshape((nc, csz) + keys.shape[1:])
-                    body = lambda mdl, c, xk: (c, mdl(preprocess(*xk)))
-                    xs = (fx, kx)
-                else:
-                    body = lambda mdl, c, x: (c, mdl(preprocess(x)))
-                    xs = fx
-                _, feats = nn.scan(
-                    body,
-                    variable_broadcast=["params", "batch_stats",
-                                        "quant_stats"],
-                    split_rngs={"params": False, "dropout": False},
-                    in_axes=0, out_axes=0)(self.backbone, None, xs)
-                feats = feats.reshape((frames.shape[0],) + feats.shape[2:])
+            enc = self.cfg.encoder
+            return patchify_clip(
+                preprocess(frames, keys), enc.visual_t, enc.visual_hw)
+        nc = self.cfg.backbone_chunks
+        # a quant calibration pass (mutable quant_stats, e.g. init)
+        # must not run under nn.scan: the scale variables are broadcast
+        # there and flax forbids mutating broadcast collections
+        calibrating = (bool(self.cfg.quant_backbone)
+                       and self.is_mutable_collection("quant_stats"))
+        if (nc > 1 and self.cfg.freeze_backbone and not calibrating
+                and frames.shape[0] % nc == 0):
+            # Sequential micro-chunks bound the preprocessing + frozen
+            # trunk's activation peak (weights broadcast, batch_stats
+            # read-only eval-mode BN).  The WHOLE frames path runs
+            # per-chunk: chunking only the trunk still materializes
+            # full-batch (B,T,224,224,3) convert/augment/normalize
+            # tensors (9.6 GB f32 at b128), which was the actual spill.
+            csz = frames.shape[0] // nc
+            fx = frames.reshape((nc, csz) + frames.shape[1:])
+            if aug_on:
+                kx = keys.reshape((nc, csz) + keys.shape[1:])
+                body = lambda mdl, c, xk: (c, mdl(preprocess(*xk)))
+                xs = (fx, kx)
             else:
-                feats = self.backbone(preprocess(frames, keys))
-            if self.cfg.freeze_backbone:
-                feats = jax.lax.stop_gradient(feats)
-            batch = {k: v for k, v in batch.items() if k != "frames"}
-            batch["visual_feats"] = feats
-        return self.head(batch, deterministic, output_attentions)
+                body = lambda mdl, c, x: (c, mdl(preprocess(x)))
+                xs = fx
+            _, feats = nn.scan(
+                body,
+                variable_broadcast=["params", "batch_stats",
+                                    "quant_stats"],
+                split_rngs={"params": False, "dropout": False},
+                in_axes=0, out_axes=0)(self.backbone, None, xs)
+            feats = feats.reshape((frames.shape[0],) + feats.shape[2:])
+        else:
+            feats = self.backbone(preprocess(frames, keys))
+        if self.cfg.freeze_backbone:
+            feats = jax.lax.stop_gradient(feats)
+        return feats
 
 
 def _dt(name: str):
